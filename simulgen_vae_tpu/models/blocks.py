@@ -1,0 +1,209 @@
+"""Shared building blocks for the hierarchical VAE, in NWC layout.
+
+All tensors are ``[batch, time, channels]`` so the channel axis maps onto the
+TPU's 128-lane dimension and every k=1 conv lowers to a plain MXU matmul.
+
+Math mirrors the reference exactly (channels-first torch modules):
+
+* ``ConvBlock``            <- ``modules/encoder.py:14-57``
+* ``EncoderResidualBlock`` <- ``modules/common.py:104-125``
+* ``DecoderResidualBlock`` <- ``modules/common.py:127-162`` (5x bottleneck)
+* ``ResidualBlock``        <- ``modules/common.py:78-102``
+* ``DecoderBlock``         <- ``modules/decoder.py:17-82`` (ConvTranspose1d
+  with stride 1 / pad 1 is function-space identical to a 3-tap SAME conv with
+  flipped taps, so we use a regular conv — better XLA lowering, same model
+  class)
+
+Shared conventions: GroupNorm(min(8, max(1, C//4)), eps=1e-5), exact (erf)
+GELU, residual branches scaled by 0.1, He/Kaiming-uniform init
+(``modules/common.py:39-59``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# He (Kaiming) uniform, matching torch kaiming_uniform_ with relu gain:
+# bound = sqrt(6 / fan_in).
+he_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def group_count(channels: int) -> int:
+    """Reference group formula min(8, max(1, C//4)) (encoder.py:35 et al.),
+    reduced to the nearest divisor of C (torch asserts divisibility; the
+    reference only ever uses divisible configs)."""
+    g = min(8, max(1, channels // 4))
+    while channels % g != 0:
+        g -= 1
+    return g
+
+
+def gelu(x):
+    """Exact (erf-based) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over [B, T, C]: per-sample stats over (T x group-channels),
+    identical to torch GroupNorm on [B, C, T]. eps matches torch (1e-5)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=group_count(self.channels), epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv1d(nn.Module):
+    """k-tap 1-D conv over the time axis of [B, T, C] data."""
+
+    features: int
+    kernel_size: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, (self.kernel_size,), padding="SAME",
+            kernel_init=he_uniform, dtype=self.dtype,
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Encoder conv block (encoder.py:14-57).
+
+    small: Conv(k=1) -> GN -> GELU
+    large: ... -> Conv(k=3) -> GN -> GELU
+    """
+
+    features: int
+    small: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv1d(self.features, 1, self.dtype)(x)
+        x = GroupNorm(self.features, self.dtype)(x)
+        x = gelu(x)
+        if not self.small:
+            x = Conv1d(self.features, 3, self.dtype)(x)
+            x = GroupNorm(self.features, self.dtype)(x)
+            x = gelu(x)
+        return x
+
+
+class EncoderResidualBlock(nn.Module):
+    """x + 0.1 * seq(x); seq = (Conv k=3 -> GN -> GELU) x (1 small / 2 large)
+    (common.py:104-125)."""
+
+    features: int
+    small: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        reps = 1 if self.small else 2
+        for _ in range(reps):
+            h = Conv1d(self.features, 3, self.dtype)(h)
+            h = GroupNorm(self.features, self.dtype)(h)
+            h = gelu(h)
+        return x + 0.1 * h
+
+
+class ResidualBlock(nn.Module):
+    """Generic residual block used in the decoder prior/posterior heads
+    (common.py:78-102): same shape as EncoderResidualBlock."""
+
+    features: int
+    small: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        reps = 1 if self.small else 2
+        for _ in range(reps):
+            h = Conv1d(self.features, 3, self.dtype)(h)
+            h = GroupNorm(self.features, self.dtype)(h)
+            h = gelu(h)
+        return x + 0.1 * h
+
+
+class DecoderResidualBlock(nn.Module):
+    """x + 0.1 * bottleneck(x) with 5x channel expansion (common.py:127-162).
+
+    small: k=1 expand -> k=5 -> k=1 contract (each Conv -> GN -> GELU)
+    large: k=1 keep  -> k=5 expand -> k=5 -> k=1 contract
+    """
+
+    features: int
+    small: bool = True
+    dtype: Any = jnp.float32
+    EXPANSION: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        f, m = self.features, self.features * self.EXPANSION
+
+        def cgg(h, feat, k):
+            h = Conv1d(feat, k, self.dtype)(h)
+            h = GroupNorm(feat, self.dtype)(h)
+            return gelu(h)
+
+        h = x
+        if self.small:
+            h = cgg(h, m, 1)
+            h = cgg(h, m, 5)
+            h = cgg(h, f, 1)
+        else:
+            h = cgg(h, f, 1)
+            h = cgg(h, m, 5)
+            h = cgg(h, m, 5)
+            h = cgg(h, f, 1)
+        return x + 0.1 * h
+
+
+class DecoderBlock(nn.Module):
+    """Decoder upsample block (decoder.py:17-82): Conv(k=3, SAME) -> GELU.
+
+    The reference's ConvTranspose1d uses stride 1 so there is no true
+    upsampling (SURVEY §2.3); with stride 1 a transposed conv is a regular
+    conv with flipped taps, so this is the same function class lowered to the
+    faster primitive.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv1d(self.features, 3, self.dtype)(x)
+        return gelu(x)
+
+
+class Dense(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, kernel_init=he_uniform, dtype=self.dtype)(x)
+
+
+def flatten_channels_first(x: jax.Array) -> jax.Array:
+    """Flatten [B, T, C] -> [B, C*T] in torch (channel-major) order.
+
+    The reference flattens [B, C, T] feature maps before its per-level linear
+    heads (encoder.py:156,161); keeping the same element order makes weight
+    layouts directly comparable with the torch oracle.
+    """
+    return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)

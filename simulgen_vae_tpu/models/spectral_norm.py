@@ -1,0 +1,93 @@
+"""Functional spectral normalization (power iteration) over a params pytree.
+
+The reference wraps every Conv/Linear of the whole VAE in torch
+``spectral_norm`` (``modules/common.py:15-37``, applied at
+``modules/train.py:72``), which keeps a persistent ``u`` vector per weight and
+runs one power iteration per forward.  Torch's stateful hook becomes, here, a
+pure transformation:
+
+    normed_params, new_state = spectral_normalize(params, state)
+
+``state`` is a pytree of ``u`` vectors mirroring the kernel leaves; it threads
+through the jitted train step alongside the optimizer state.  Gradients flow
+through the normalization ``W / sigma(W)`` exactly as in torch: ``u``/``v``
+are stop-gradient'd, ``sigma = v . W u`` is differentiable.
+
+Matrix view: a kernel of shape ``(..., out)`` is reshaped to ``M = [rest, out]``.
+``sigma(M) == sigma(M^T)`` so this matches torch's ``[out, rest]`` view.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+EPS = 1e-12
+
+
+def _l2_normalize(v):
+    return v / (jnp.linalg.norm(v) + EPS)
+
+
+def _is_sn_kernel(path: Tuple[str, ...], leaf) -> bool:
+    return path[-1] == "kernel" and getattr(leaf, "ndim", 0) >= 2
+
+
+def init_sn_state(params, rng: jax.Array,
+                  filter_fn: Callable = None) -> dict:
+    """Create the ``u`` pytree (one unit vector per normalized kernel)."""
+    flat = traverse_util.flatten_dict(params)
+    state = {}
+    for i, (path, leaf) in enumerate(sorted(flat.items())):
+        if not _is_sn_kernel(path, leaf):
+            continue
+        if filter_fn is not None and not filter_fn(path):
+            continue
+        k = jax.random.fold_in(rng, i)
+        out = leaf.shape[-1]
+        state[path] = _l2_normalize(jax.random.normal(k, (out,), jnp.float32))
+    return traverse_util.unflatten_dict(state)
+
+
+def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,
+                       filter_fn: Callable = None):
+    """Normalize every selected kernel by its leading singular value.
+
+    Args:
+      params: model params pytree.
+      state: ``u`` pytree from :func:`init_sn_state`.
+      update: run power iteration and return the updated ``u`` (train mode);
+        if False, reuse the stored ``u`` (eval mode, torch semantics).
+      n_iter: power iterations per call (torch default 1).
+      filter_fn: optional predicate on the flattened path tuple.
+
+    Returns:
+      ``(normed_params, new_state)``.
+    """
+    flat_p = traverse_util.flatten_dict(params)
+    flat_u = traverse_util.flatten_dict(state) if state else {}
+    new_p, new_u = {}, {}
+
+    for path, w in flat_p.items():
+        u = flat_u.get(path)
+        if u is None:
+            new_p[path] = w
+            continue
+        m = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+        if update:
+            for _ in range(n_iter):
+                v = _l2_normalize(m @ u)
+                u = _l2_normalize(m.T @ v)
+        else:
+            v = _l2_normalize(m @ u)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = v @ (m @ u)
+        new_p[path] = (w / sigma.astype(w.dtype)).astype(w.dtype)
+        new_u[path] = u
+
+    return (traverse_util.unflatten_dict(new_p),
+            traverse_util.unflatten_dict(new_u))

@@ -1,0 +1,6 @@
+from simulgen_vae_tpu.parallel.mesh import make_mesh  # noqa: F401
+from simulgen_vae_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    param_shardings,
+    shard_state,
+)

@@ -1,0 +1,60 @@
+"""GSPMD sharding rules for the VAE state and data.
+
+The scale axis of this model family is ``num_node`` (95008 in the flagship
+workload): the encoder embedding kernel ``[1, num_node, f0]``, the decoder
+readout kernel ``[1, f_last, num_node]``, its bias/GroupNorm vectors, and the
+activations ``[B, T, num_node]`` all carry it (SURVEY §5 "long-context").
+Rule: shard every node-sized dimension over the ``model`` mesh axis, batch
+dimensions over ``data``, replicate the rest.  XLA inserts the psum for the
+embedding contraction and the group-stat reductions.
+
+With the default single-axis mesh (model=1) everything degenerates to plain
+data parallelism: gradients are combined by XLA's all-reduce exactly where
+the reference intended NCCL DDP (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh, node_axis: bool = True) -> NamedSharding:
+    """Sharding for [batch, time, node] simulation arrays."""
+    spec = P("data", None, "model") if node_axis else P("data", None, None)
+    return NamedSharding(mesh, spec)
+
+
+def _leaf_spec(leaf, num_node: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    if not shape:
+        return P()
+    spec = [None] * len(shape)
+    for i, d in enumerate(shape):
+        if d == num_node:
+            spec[i] = "model"
+            break  # shard at most one dim per leaf
+    return P(*spec)
+
+
+def param_shardings(tree: Any, mesh: Mesh, num_node: int) -> Any:
+    """NamedSharding pytree for params / opt_state / sn_u.
+
+    Any leaf with a node-sized dimension is sharded on ``model``; everything
+    else is replicated (and reduced over ``data`` by GSPMD during grads).
+    """
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, num_node)), tree
+    )
+
+
+def shard_state(state: Any, mesh: Mesh, num_node: int) -> Any:
+    """Place a train state onto the mesh according to the sharding rules."""
+    shardings = param_shardings(state, mesh, num_node)
+    return jax.device_put(state, shardings)
+
+
+def shard_batch(data: jax.Array, mesh: Mesh) -> jax.Array:
+    return jax.device_put(data, batch_sharding(mesh))
