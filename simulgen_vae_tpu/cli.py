@@ -1,0 +1,347 @@
+"""Command-line entry point — the reference ``SimulGen-VAE.py`` pipeline.
+
+Stages (SimulGen-VAE.py:30-497): config parsing -> dataset load/reduce/scale
+-> VAE training -> latent extraction -> latent-conditioner training (base /
+enhanced / end-to-end) -> reconstruction comparison.
+
+Flag surface keeps the reference CLI (``--preset --plot --lc_only --size
+--load_all``) and replaces ``--use_ddp`` with mesh flags (``--mesh_data`` /
+``--mesh_model``) since parallelism is GSPMD over a device mesh, not NCCL
+(SURVEY §2.7).  ``--load_all`` is accepted for compatibility; data always
+lives in device memory here.
+
+Artifact layout parity: ``model_save/`` (scaler.pkl, latent_vectors.npy, xs.npy,
+latent/xs scaler pickles), ``checkpoints/`` (orbax VAE + LC state, comparison
+PNGs), ``SimulGen-VAE_L2_loss.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def initialize_folder(folder_name: str) -> None:
+    """Wipe folder contents (reference utils.py:673-683)."""
+    os.makedirs(folder_name, exist_ok=True)
+    for item in os.listdir(folder_name):
+        path = os.path.join(folder_name, item)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="SimulGen-VAE TPU: physics-aware generative surrogate",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""Examples:
+  Full run : python -m simulgen_vae_tpu --preset=1 --plot=2 --lc_only=0 --size=small
+  LC only  : python -m simulgen_vae_tpu --preset=1 --lc_only=1 --size=small
+  Multichip: python -m simulgen_vae_tpu --preset=1 --mesh_data=4 --mesh_model=2""",
+    )
+    parser.add_argument("--preset", dest="preset", default="1")
+    parser.add_argument("--plot", dest="plot", default="2")
+    parser.add_argument("--lc_only", dest="train_latent_conditioner",
+                        default="0")
+    parser.add_argument("--size", dest="size", default="small",
+                        choices=["small", "large"])
+    parser.add_argument("--load_all", dest="load_all", default="1",
+                        help="accepted for reference-CLI compatibility")
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="data-parallel mesh axis size (default: all devices)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="model-parallel mesh axis size (node-dim sharding)")
+    parser.add_argument("--condition", default="input_data/condition.txt")
+    parser.add_argument("--preset_file", default="preset.txt")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override Training_epochs")
+    parser.add_argument("--lc_epochs", type=int, default=None,
+                        help="override n_epoch")
+    parser.add_argument("--no_wipe", action="store_true",
+                        help="skip the reference's destructive folder init")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.config import (
+        LCConfig,
+        VAEConfig,
+        parse_condition_file,
+        parse_training_parameters,
+        read_preset,
+    )
+    from simulgen_vae_tpu.data.dataset import input_dataset, reduce_dataset
+    from simulgen_vae_tpu.data.scaler import data_scaler, latent_conditioner_scaler
+    from simulgen_vae_tpu.evaluation import (
+        ReconstructionEvaluator,
+        evaluate_vae_reconstruction,
+    )
+    from simulgen_vae_tpu.evaluation.plotter import (
+        dual_view_plotter,
+        temporal_plotter,
+    )
+    from simulgen_vae_tpu.parallel import make_mesh, shard_state
+    from simulgen_vae_tpu.parallel.sharding import shard_batch
+    from simulgen_vae_tpu.train.vae_trainer import VAETrainer
+    from simulgen_vae_tpu.utils.checkpoint import (
+        CheckpointManager,
+        save_l2_loss,
+        save_latents,
+    )
+    from simulgen_vae_tpu.utils.logging import MetricsLogger
+
+    print("Starting SimulGen-VAE TPU...")
+    print(f"Devices: {jax.devices()}")
+
+    params = parse_condition_file(args.condition)
+    config = parse_training_parameters(params)
+    data_no, init_beta_divisor, num_filter_enc, lc_filter = read_preset(
+        args.preset_file
+    )
+
+    small = args.size == "small"
+    lc_only = int(args.train_latent_conditioner)
+    key = jax.random.PRNGKey(args.seed)
+
+    cfg = VAEConfig.from_condition(config, num_filter_enc, small=small,
+                                   dtype=args.dtype)
+    if args.epochs is not None:
+        cfg.n_epochs = args.epochs
+    lc_cfg = LCConfig.from_condition(config, lc_filter)
+    if args.lc_epochs is not None:
+        lc_cfg.epochs = args.lc_epochs
+
+    if lc_only == 0 and not args.no_wipe:
+        for folder in ("model_save", "checkpoints", "LatentConditionerRuns",
+                       "output"):
+            initialize_folder(folder)
+    os.makedirs("model_save", exist_ok=True)
+    os.makedirs("checkpoints", exist_ok=True)
+
+    # -- data ---------------------------------------------------------------
+    data_save = input_dataset(config["num_param"], config["num_time"],
+                              config["num_node"], data_no)
+    num_node_red = config["num_node_end"] - config["num_node_start"]
+    num_time, fom_data, num_node = reduce_dataset(
+        data_save, config["num_time_to"], num_node_red, config["num_param"],
+        config["num_time"], config["num_node_start"], config["num_node_end"],
+    )
+    del data_save
+
+    if args.plot != "2":
+        dual_view_plotter(fom_data, param_idx=min(7, fom_data.shape[0] - 1),
+                          print_graph=args.plot,
+                          save_path="output/dual_view.png")
+        temporal_plotter(fom_data, 0, min(7, fom_data.shape[0] - 1), 0,
+                         args.plot, min(7, fom_data.shape[0]),
+                         save_path="output/temporal.png")
+
+    new_x_train, _, scaler = data_scaler(fom_data, num_time, num_node,
+                                         save_path="model_save/scaler.pkl")
+    del fom_data
+    new_x_train = np.float32(new_x_train)
+    print(f"Dataset value range: [{new_x_train.min():.4f}, "
+          f"{new_x_train.max():.4f}]")
+
+    # -- mesh ---------------------------------------------------------------
+    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    print(f"Mesh: {dict(mesh.shape)}")
+
+    trainer = VAETrainer(cfg)
+    vae_model = trainer.model
+
+    if lc_only == 0:
+        logger = MetricsLogger(
+            log_dir="./runs", name="VAE",
+            samples_per_epoch=int(len(new_x_train) * 0.8), n_chips=n_chips,
+        )
+        ckpt = CheckpointManager("checkpoints/vae",
+                                 save_interval_epochs=max(cfg.n_epochs // 10, 1))
+
+        state, history = trainer.fit(
+            new_x_train, key, mesh=mesh,
+            log_fn=lambda e, m: logger.log(e, m, cfg.n_epochs),
+        )
+        ckpt.save(state, cfg.n_epochs)
+        ckpt.wait()
+        logger.close()
+
+        eval_params = trainer.eval_params(state)
+        latent_vectors, hierarchical, recon_loss, _, _ = \
+            evaluate_vae_reconstruction(
+                vae_model, eval_params, new_x_train, key,
+                recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
+                dataset_name="Whole Dataset",
+            )
+        save_latents("model_save", latent_vectors, hierarchical)
+        save_l2_loss("./SimulGen-VAE_L2_loss.txt", recon_loss)
+    else:
+        print("Training LatentConditioner only...")
+        latent_vectors = np.load("model_save/latent_vectors.npy")
+        hierarchical = np.load("model_save/xs.npy")
+        ckpt = CheckpointManager("checkpoints/vae")
+        state = ckpt.restore(trainer.init_state(key))
+        eval_params = trainer.eval_params(state)
+
+    # -- latent-conditioner stage ------------------------------------------
+    rc = run_latent_conditioner_stage(
+        args, cfg, lc_cfg, vae_model, eval_params, latent_vectors,
+        hierarchical, new_x_train, key,
+    )
+    return rc
+
+
+def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
+                                 latent_vectors, hierarchical, new_x_train,
+                                 key) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.data.images import (
+        read_latent_conditioner_dataset,
+        read_latent_conditioner_dataset_img,
+    )
+    from simulgen_vae_tpu.data.scaler import latent_conditioner_scaler
+    from simulgen_vae_tpu.evaluation import ReconstructionEvaluator
+    from simulgen_vae_tpu.models import (
+        LatentConditioner,
+        LatentConditionerImg,
+        LatentConditionerViT,
+    )
+    from simulgen_vae_tpu.models.conditioner_cnn import sn_filter
+    from simulgen_vae_tpu.train.lc_e2e_trainer import E2ETrainer
+    from simulgen_vae_tpu.train.lc_trainer import LCTrainer
+    from simulgen_vae_tpu.utils.checkpoint import CheckpointManager
+    from simulgen_vae_tpu.utils.logging import MetricsLogger
+
+    num_param = latent_vectors.shape[0]
+    out_latent = latent_vectors.reshape(num_param, cfg.latent_dim_end)
+    xs_vectors = hierarchical.reshape(num_param, -1)
+
+    data_type = lc_cfg.input_type
+    if data_type in ("image", "image_vit"):
+        print("Loading image data...")
+        physical_input, _ = read_latent_conditioner_dataset_img(
+            lc_cfg.param_dir, lc_cfg.param_data_type
+        )
+        physical_input = physical_input / 255.0
+        is_image = True
+    elif data_type == "csv":
+        print("Loading csv data for MLP...")
+        physical_input = read_latent_conditioner_dataset(lc_cfg.param_dir)
+        physical_input, _ = latent_conditioner_scaler(
+            physical_input, "./model_save/latent_conditioner_input_scaler.pkl"
+        )
+        is_image = False
+    else:
+        raise NotImplementedError(
+            f"Unrecognized latent_conditioner_data_type: {data_type}. "
+            'Supported options: "image" (CNN), "image_vit" (ViT), "csv" (MLP)'
+        )
+
+    out_latent, lv_scaler = latent_conditioner_scaler(
+        out_latent, "./model_save/latent_vectors_scaler.pkl"
+    )
+    out_hier_flat, xs_scaler = latent_conditioner_scaler(
+        xs_vectors, "./model_save/xs_scaler.pkl"
+    )
+    size2 = cfg.num_hier
+    out_hier = out_hier_flat.reshape(num_param, size2, cfg.latent_dim)
+
+    # -- model --------------------------------------------------------------
+    if data_type == "image":
+        lc_model = LatentConditionerImg(
+            lc_cfg.filters, cfg.latent_dim_end, cfg.latent_dim, size2,
+            dropout_rate=lc_cfg.dropout_rate,
+            use_attention=lc_cfg.use_spatial_attention,
+        )
+        lc_sn = sn_filter
+    elif data_type == "image_vit":
+        lc_model = LatentConditionerViT(
+            latent_dim_end=cfg.latent_dim_end, latent_dim=cfg.latent_dim,
+            size2=size2, dropout_rate=lc_cfg.dropout_rate,
+        )
+        lc_sn = None
+    else:
+        lc_model = LatentConditioner(
+            lc_cfg.filters, cfg.latent_dim_end, physical_input.shape[-1],
+            cfg.latent_dim, size2, dropout_rate=lc_cfg.dropout_rate,
+        )
+        lc_sn = None
+
+    logger = MetricsLogger(log_dir="./LatentConditionerRuns",
+                           name="LatentConditioner")
+    print("Starting LatentConditioner training...")
+
+    if is_image and lc_cfg.use_e2e_training:
+        print("Using end-to-end latent conditioner training")
+        trainer = E2ETrainer(
+            lc_model, vae_model, vae_params, lv_scaler, xs_scaler,
+            epochs=lc_cfg.epochs, lr=lc_cfg.lr, batch_size=lc_cfg.batch_size,
+            weight_decay=lc_cfg.weight_decay,
+            loss_function=lc_cfg.e2e_loss_function, lc_alpha=lc_cfg.lc_alpha,
+            use_latent_regularization=lc_cfg.use_latent_regularization,
+            latent_reg_weight=lc_cfg.latent_reg_weight, sn_filter=lc_sn,
+        )
+        lc_state, _ = trainer.fit(
+            physical_input, out_latent, out_hier, new_x_train, key,
+            log_fn=lambda e, m: logger.log(e, m, lc_cfg.epochs),
+        )
+    else:
+        loss_mode = "enhanced" if is_image else "standard"
+        trainer = LCTrainer(
+            lc_model, epochs=lc_cfg.epochs, lr=lc_cfg.lr,
+            batch_size=lc_cfg.batch_size, weight_decay=lc_cfg.weight_decay,
+            is_image_data=is_image, loss_mode=loss_mode, sn_filter=lc_sn,
+        )
+        lc_state, _ = trainer.fit(
+            physical_input, out_latent, out_hier, key,
+            log_fn=lambda e, m: logger.log(e, m, lc_cfg.epochs),
+        )
+    logger.close()
+
+    lc_ckpt = CheckpointManager("checkpoints/latent_conditioner")
+    lc_ckpt.save(lc_state, int(lc_state.epoch))
+    lc_ckpt.wait()
+    lc_ckpt.close()
+
+    print("LatentConditioner training completed successfully")
+    print("Starting reconstruction evaluation...")
+    evaluator = ReconstructionEvaluator(vae_model, vae_params, cfg.num_time)
+    predict = (trainer.predict_fn(lc_state) if hasattr(trainer, "predict_fn")
+               else None)
+    if predict is None:
+        from simulgen_vae_tpu.models.spectral_norm import spectral_normalize
+
+        def predict(x):
+            p = lc_state.params
+            variables = {"params": p}
+            if lc_state.batch_stats:
+                variables["batch_stats"] = lc_state.batch_stats
+            return lc_model.apply(variables, x, deterministic=True)
+
+    evaluator.evaluate_reconstruction_comparison(
+        predict, physical_input, out_latent, out_hier, new_x_train,
+        lv_scaler, xs_scaler, save_dir="checkpoints",
+    )
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,19 @@ from simulgen_vae_tpu.models.decoder import reparameterize
 from simulgen_vae_tpu.models.vae import VAE
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+# jit cache keyed by (model identity, recon_iter): flax modules with list
+# fields aren't hashable, so they can't be static jit args directly.
+_EVAL_FN_CACHE = {}
+
+
+def _get_chunk_fn(model: VAE, recon_iter: int):
+    key = (id(model), recon_iter)
+    if key not in _EVAL_FN_CACHE:
+        fn = jax.jit(partial(_evaluate_chunk, model, recon_iter=recon_iter))
+        _EVAL_FN_CACHE[key] = (model, fn)  # keep model alive (id stability)
+    return _EVAL_FN_CACHE[key][1]
+
+
 def _evaluate_chunk(model: VAE, params, chunk, key, recon_iter: int):
     """Best-of-recon_iter evaluation for one [B, T, N] chunk."""
     variables = {"params": params}
@@ -77,6 +89,7 @@ def evaluate_vae_reconstruction(model: VAE, params, data, key,
     data = jnp.asarray(data)
     n = data.shape[0]
     zs, hiers, mses, gens = [], [], [], []
+    chunk_fn = _get_chunk_fn(model, recon_iter)
 
     for start in range(0, n, batch_size):
         chunk = data[start: start + batch_size]
@@ -87,7 +100,7 @@ def evaluate_vae_reconstruction(model: VAE, params, data, key,
                 [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
             )
         k = jax.random.fold_in(key, start)
-        z, hier, mse, gen = _evaluate_chunk(model, params, chunk, k, recon_iter)
+        z, hier, mse, gen = chunk_fn(params, chunk, k)
         end = batch_size - pad
         zs.append(np.asarray(z[:end]))
         hiers.append(np.asarray(hier[:end]))

@@ -193,9 +193,11 @@ class VAETrainer:
             state: Optional[VAETrainState] = None,
             val_split: float = 0.2, val_every: int = 20,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None):
+            epochs: Optional[int] = None, mesh=None):
         """Train on [P, T, N] data with an 80/20 split (reference default).
 
+        If ``mesh`` is given, the state and data are placed with the
+        node-axis/data-axis GSPMD shardings from ``parallel.sharding``.
         Returns (state, history dict of per-epoch metric arrays).
         """
         cfg = self.cfg
@@ -213,6 +215,16 @@ class VAETrainer:
 
         if state is None:
             state = self.init_state(k_init)
+
+        if mesh is not None:
+            from simulgen_vae_tpu.parallel.sharding import (
+                shard_batch,
+                shard_state,
+            )
+
+            state = shard_state(state, mesh, cfg.num_node)
+            data_train = shard_batch(data_train, mesh)
+            data_val = shard_batch(data_val, mesh)
 
         history: Dict[str, list] = {}
         val_metrics = {"loss": 0.0, "recon": 0.0}

@@ -122,7 +122,7 @@ def test_vit_conditioner_shapes():
 
 def test_dropout_is_stochastic_in_train_mode():
     model = LatentConditioner([16], 8, 10, 4, 2, dropout_rate=0.5)
-    x = jnp.ones((4, 10))
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 10))
     key = jax.random.PRNGKey(0)
     variables = model.init({"params": key, "dropout": key}, x,
                            deterministic=True)
