@@ -119,6 +119,25 @@ def read_preset(filepath: str = "preset.txt"):
     return data_no, init_beta_divisor, num_filter_enc, latent_conditioner_filter
 
 
+def input_user_variables():
+    """Interactive stdin fallback when --preset != 1.
+
+    Mirrors reference ``modules/input_variables.py:1-18`` (without the typo'd
+    variable name that crashes the reference's non-preset path,
+    SimulGen-VAE.py:206/217).
+    """
+    print()
+    print("Input dataset number of pickle file, dataset%d.pickle")
+    dataset_no = int(input())
+    print("Input initial beta power")
+    init_beta_divisor = int(input())
+    print("Input SimulGen-VAE filters")
+    num_filter_enc = list(map(int, input().split()))
+    print("Input LatentConditioner filters")
+    latent_conditioner_filter = list(map(int, input().split()))
+    return dataset_no, init_beta_divisor, num_filter_enc, latent_conditioner_filter
+
+
 LOSS_NAMES = {1: "MSE", 2: "MAE", 3: "smoothL1", 4: "Huber"}
 
 

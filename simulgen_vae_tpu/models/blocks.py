@@ -14,6 +14,12 @@ Math mirrors the reference exactly (channels-first torch modules):
   flipped taps, so we use a regular conv — better XLA lowering, same model
   class)
 
+Every GroupNorm+activation pair goes through :class:`NormAct`, which owns the
+affine parameters and dispatches to the fused Pallas GroupNorm+activation
+kernel on TPU (one VMEM pass) or the numerically identical XLA reference
+elsewhere (``ops/groupnorm_gelu.py``).  Statistics are computed in f32
+regardless of compute dtype.
+
 Shared conventions: GroupNorm(min(8, max(1, C//4)), eps=1e-5), exact (erf)
 GELU, residual branches scaled by 0.1, He/Kaiming-uniform init
 (``modules/common.py:39-59``).
@@ -26,6 +32,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu
 
 # He (Kaiming) uniform, matching torch kaiming_uniform_ with relu gain:
 # bound = sqrt(6 / fan_in).
@@ -47,19 +55,23 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-class GroupNorm(nn.Module):
-    """GroupNorm over [B, T, C]: per-sample stats over (T x group-channels),
-    identical to torch GroupNorm on [B, C, T]. eps matches torch (1e-5)."""
+class NormAct(nn.Module):
+    """GroupNorm (+ fused activation) over [B, T, C].
+
+    Per-sample stats over (T x group-channels), identical to torch GroupNorm
+    on [B, C, T]; eps matches torch (1e-5).  ``act`` in {'gelu','tanh','none'}.
+    """
 
     channels: int
+    act: str = "gelu"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=group_count(self.channels), epsilon=1e-5,
-            dtype=self.dtype,
-        )(x)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return group_norm_gelu(x, scale, bias, group_count(self.channels),
+                               act=self.act)
 
 
 class Conv1d(nn.Module):
@@ -91,12 +103,10 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Conv1d(self.features, 1, self.dtype)(x)
-        x = GroupNorm(self.features, self.dtype)(x)
-        x = gelu(x)
+        x = NormAct(self.features, "gelu", self.dtype)(x)
         if not self.small:
             x = Conv1d(self.features, 3, self.dtype)(x)
-            x = GroupNorm(self.features, self.dtype)(x)
-            x = gelu(x)
+            x = NormAct(self.features, "gelu", self.dtype)(x)
         return x
 
 
@@ -114,8 +124,7 @@ class EncoderResidualBlock(nn.Module):
         reps = 1 if self.small else 2
         for _ in range(reps):
             h = Conv1d(self.features, 3, self.dtype)(h)
-            h = GroupNorm(self.features, self.dtype)(h)
-            h = gelu(h)
+            h = NormAct(self.features, "gelu", self.dtype)(h)
         return x + 0.1 * h
 
 
@@ -133,8 +142,7 @@ class ResidualBlock(nn.Module):
         reps = 1 if self.small else 2
         for _ in range(reps):
             h = Conv1d(self.features, 3, self.dtype)(h)
-            h = GroupNorm(self.features, self.dtype)(h)
-            h = gelu(h)
+            h = NormAct(self.features, "gelu", self.dtype)(h)
         return x + 0.1 * h
 
 
@@ -156,8 +164,7 @@ class DecoderResidualBlock(nn.Module):
 
         def cgg(h, feat, k):
             h = Conv1d(feat, k, self.dtype)(h)
-            h = GroupNorm(feat, self.dtype)(h)
-            return gelu(h)
+            return NormAct(feat, "gelu", self.dtype)(h)
 
         h = x
         if self.small:

@@ -38,7 +38,7 @@ from simulgen_vae_tpu.models.blocks import (
     Dense,
     DecoderBlock,
     DecoderResidualBlock,
-    GroupNorm,
+    NormAct,
     ResidualBlock,
     gelu,
 )
@@ -72,8 +72,7 @@ class _LatentInjector(nn.Module):
         h = h.reshape(v.shape[0], self.latent_dim, self.num_time)
         h = jnp.swapaxes(h, 1, 2)  # -> [B, T, latent]
         h = Conv1d(self.features, 5, self.dtype)(h)
-        h = GroupNorm(self.features, self.dtype)(h)
-        return gelu(h)
+        return NormAct(self.features, "gelu", self.dtype)(h)
 
 
 class _ConditionHead(nn.Module):
@@ -158,6 +157,7 @@ class Decoder(nn.Module):
             zs.append(z)
 
         x_hat = Conv1d(self.num_node, 1, self.dtype, name="recon_conv")(decoder_out)
-        x_hat = GroupNorm(self.num_node, self.dtype, name="recon_norm")(x_hat)
-        x_hat = jnp.tanh(x_hat)
+        # GroupNorm + Tanh readout (decoder.py:117-121), fused on TPU.
+        x_hat = NormAct(self.num_node, "tanh", self.dtype,
+                        name="recon_norm")(x_hat)
         return x_hat, kl_losses, zs

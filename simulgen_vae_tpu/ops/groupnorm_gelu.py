@@ -36,29 +36,41 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _activate(x, act: str):
+    if act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "none":
+        return x
+    raise ValueError(f"unknown activation '{act}'")
+
+
 def group_norm_gelu_reference(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                              num_groups: int, eps: float = 1e-5) -> jax.Array:
-    """XLA reference: GroupNorm([B,T,C], groups over C) -> exact GELU."""
+                              num_groups: int, eps: float = 1e-5,
+                              act: str = "gelu") -> jax.Array:
+    """XLA reference: GroupNorm([B,T,C], groups over C) -> activation."""
     b, t, c = x.shape
     g = num_groups
-    xg = x.reshape(b, t, g, c // g)
+    xg = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
     xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
-    out = xn * scale + bias
-    return jax.nn.gelu(out, approximate=False)
+    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return _activate(out, act).astype(x.dtype)
 
 
-def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, eps: float):
+def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, eps: float, act: str):
     x = x_ref[0].astype(jnp.float32)          # [T, Cg]
     mean = jnp.mean(x)
     var = jnp.mean((x - mean) ** 2)
     xn = (x - mean) * jax.lax.rsqrt(var + eps)
     out = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
-    out_ref[0] = jax.nn.gelu(out, approximate=False).astype(out_ref.dtype)
+    out_ref[0] = _activate(out, act).astype(out_ref.dtype)
 
 
-def _pallas_forward(x, scale, bias, num_groups: int, eps: float):
+def _pallas_forward(x, scale, bias, num_groups: int, eps: float,
+                    act: str = "gelu"):
     from jax.experimental import pallas as pl
 
     b, t, c = x.shape
@@ -67,7 +79,7 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float):
     interpret = jax.default_backend() != "tpu"
 
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, act=act),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, g),
         in_specs=[
@@ -80,20 +92,22 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float):
     )(x, scale, bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5):
-    return _pallas_forward(x, scale, bias, num_groups, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                          act: str = "gelu"):
+    return _pallas_forward(x, scale, bias, num_groups, eps, act)
 
 
-def _fwd(x, scale, bias, num_groups, eps):
-    out = _pallas_forward(x, scale, bias, num_groups, eps)
+def _fwd(x, scale, bias, num_groups, eps, act):
+    out = _pallas_forward(x, scale, bias, num_groups, eps, act)
     return out, (x, scale, bias)
 
 
-def _bwd(num_groups, eps, residuals, grad):
+def _bwd(num_groups, eps, act, residuals, grad):
     x, scale, bias = residuals
     _, vjp = jax.vjp(
-        lambda a, s, b: group_norm_gelu_reference(a, s, b, num_groups, eps),
+        lambda a, s, b: group_norm_gelu_reference(a, s, b, num_groups, eps,
+                                                  act),
         x, scale, bias,
     )
     return vjp(grad)
@@ -103,10 +117,11 @@ fused_group_norm_gelu.defvjp(_fwd, _bwd)
 
 
 def group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                    act: str = "gelu",
                     use_pallas: bool | None = None) -> jax.Array:
     """Dispatch: Pallas fused kernel on TPU, XLA reference elsewhere."""
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas:
-        return fused_group_norm_gelu(x, scale, bias, num_groups, eps)
-    return group_norm_gelu_reference(x, scale, bias, num_groups, eps)
+        return fused_group_norm_gelu(x, scale, bias, num_groups, eps, act)
+    return group_norm_gelu_reference(x, scale, bias, num_groups, eps, act)

@@ -21,9 +21,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def batch_sharding(mesh: Mesh, node_axis: bool = True) -> NamedSharding:
-    """Sharding for [batch, time, node] simulation arrays."""
-    spec = P("data", None, "model") if node_axis else P("data", None, None)
+def batch_sharding(mesh: Mesh, shape=None) -> NamedSharding:
+    """Sharding for [batch, time, node] simulation arrays.
+
+    Axes that don't divide evenly by their mesh axis fall back to
+    replication (e.g. a 10-sample dataset on an 8-way data axis); the batch
+    gathered inside the train step is still constrained to the data axis.
+    """
+    data_ok = shape is None or shape[0] % mesh.shape["data"] == 0
+    node_ok = shape is None or shape[-1] % mesh.shape["model"] == 0
+    spec = P("data" if data_ok else None, None,
+             "model" if node_ok else None)
     return NamedSharding(mesh, spec)
 
 
@@ -57,4 +65,4 @@ def shard_state(state: Any, mesh: Mesh, num_node: int) -> Any:
 
 
 def shard_batch(data: jax.Array, mesh: Mesh) -> jax.Array:
-    return jax.device_put(data, batch_sharding(mesh))
+    return jax.device_put(data, batch_sharding(mesh, data.shape))

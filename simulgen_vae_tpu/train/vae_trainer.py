@@ -65,6 +65,7 @@ class VAETrainer:
                  donate: bool = True):
         self.cfg = cfg
         self.aug = aug
+        self.mesh = None  # set by fit(mesh=...) before first compile
         self.use_sn = (cfg.use_spectral_norm if use_spectral_norm is None
                        else use_spectral_norm)
         self.model = VAE(
@@ -83,6 +84,8 @@ class VAETrainer:
         self._train_epoch = jax.jit(self._train_epoch_impl,
                                     donate_argnums=donate_args)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=donate_args)
 
     # -- state -------------------------------------------------------------
 
@@ -102,6 +105,24 @@ class VAETrainer:
         if not self.use_sn:
             return params, sn_u
         return spectral_normalize(params, sn_u, update=update)
+
+    def _constrain_batch(self, batch):
+        """Pin the gathered batch to the data/model mesh axes (GSPMD hint).
+
+        Needed when the full dataset is replicated (sample count not
+        divisible by the data axis) so the per-step compute still shards.
+        """
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_ok = batch.shape[0] % self.mesh.shape["data"] == 0
+        node_ok = batch.shape[-1] % self.mesh.shape["model"] == 0
+        spec = P("data" if data_ok else None, None,
+                 "model" if node_ok else None)
+        return jax.lax.with_sharding_constraint(
+            batch, NamedSharding(self.mesh, spec)
+        )
 
     def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
         normed, new_u = self._normalized_params(params, sn_u, update_sn)
@@ -145,6 +166,7 @@ class VAETrainer:
             partner_idx = jax.random.randint(k_partner, (bsz,), 0, n)
             partner = jnp.take(data, partner_idx, axis=0)
             batch = augment_batch(k_aug, batch, partner, self.aug)
+            batch = self._constrain_batch(batch)
 
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (_, (new_u, metrics)), grads = grad_fn(
@@ -166,6 +188,71 @@ class VAETrainer:
         new_state = VAETrainState(params=params, opt_state=opt_state,
                                   sn_u=sn_u, epoch=state.epoch + 1)
         return new_state, metrics
+
+    def _train_step_impl(self, state: VAETrainState, batch: jax.Array,
+                         partner: jax.Array, key: jax.Array
+                         ) -> Tuple[VAETrainState, Dict]:
+        """Single-batch step for host-streaming training (datasets larger
+        than HBM — the flagship 484x200x95008 array is ~36 GB).  Same math as
+        the scan'd epoch; batches arrive via async device_put from the host,
+        which overlaps H2D with compute under jax's async dispatch."""
+        cfg = self.cfg
+        beta = beta_schedule(state.epoch, cfg.n_epochs)
+        lr = cosine_warm_restarts(state.epoch, cfg.lr,
+                                  t_0=max(cfg.n_epochs // 4, 1), t_mult=2,
+                                  eta_min=cfg.lr * 1e-4)
+        k_aug, k_model = jax.random.split(key)
+        batch = augment_batch(k_aug, batch, partner, self.aug)
+        batch = self._constrain_batch(batch)
+
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (_, (new_u, metrics)), grads = grad_fn(
+            state.params, state.sn_u, batch, k_model, beta
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["beta"] = beta
+        metrics["lr"] = lr
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             sn_u=new_u), metrics
+
+    def train_epoch_streaming(self, state: VAETrainState, data: np.ndarray,
+                              key: jax.Array) -> Tuple[VAETrainState, Dict]:
+        """One epoch over host-resident [N, T, nodes] data, streaming batches.
+
+        The reference's ``load_all=0`` path (utils.py:44-66) with pinned
+        buffers becomes async device_put; mixup partners are random host rows
+        like the HBM path.
+        """
+        cfg = self.cfg
+        n = data.shape[0]
+        bsz = min(cfg.batch_size, n)
+        num_batches = max(n // bsz, 1)
+        rng = np.random.default_rng(
+            int(jax.random.randint(key, (), 0, 2**31 - 1))
+        )
+        perm = rng.permutation(n)[: num_batches * bsz].reshape(num_batches, bsz)
+        dtype = jnp.dtype(cfg.dtype)
+
+        # Keep metrics on device until epoch end so float() syncs don't
+        # serialize the stream (async dispatch overlaps H2D with compute).
+        per_step = []
+        for i in range(num_batches):
+            idx = perm[i]
+            pidx = rng.integers(0, n, size=bsz)
+            batch = jax.device_put(jnp.asarray(data[idx], dtype))
+            partner = jax.device_put(jnp.asarray(data[pidx], dtype))
+            state, metrics = self._train_step(
+                state, batch, partner, jax.random.fold_in(key, i)
+            )
+            per_step.append(metrics)
+        out = {k: float(np.mean([float(m[k]) for m in per_step]))
+               for k in per_step[0]}
+        return state.replace(epoch=state.epoch + 1), out
 
     def _eval_epoch_impl(self, state: VAETrainState, data: jax.Array,
                          key: jax.Array) -> Dict:
@@ -193,12 +280,14 @@ class VAETrainer:
             state: Optional[VAETrainState] = None,
             val_split: float = 0.2, val_every: int = 20,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None, mesh=None):
+            epochs: Optional[int] = None, mesh=None, stream: bool = False):
         """Train on [P, T, N] data with an 80/20 split (reference default).
 
         If ``mesh`` is given, the state and data are placed with the
         node-axis/data-axis GSPMD shardings from ``parallel.sharding``.
-        Returns (state, history dict of per-epoch metric arrays).
+        ``stream=True`` keeps the dataset in host memory and streams batches
+        (for arrays larger than HBM); validation then runs on a device-sized
+        subset.  Returns (state, history dict of per-epoch metric arrays).
         """
         cfg = self.cfg
         epochs = epochs or cfg.n_epochs
@@ -209,14 +298,23 @@ class VAETrainer:
         perm = np.asarray(jax.random.permutation(k_split, n))
         train_idx, val_idx = perm[: n - n_val], perm[n - n_val:]
 
-        data = jnp.asarray(data, jnp.dtype(cfg.dtype))
-        data_train = data[train_idx]
-        data_val = data[val_idx] if n_val else data_train
+        if stream:
+            data = np.asarray(data)
+            data_train = data[train_idx]
+            val_cap = max(cfg.batch_size, min(n_val, 4 * cfg.batch_size))
+            data_val = jnp.asarray(
+                data[val_idx][:val_cap] if n_val else data_train[:val_cap],
+                jnp.dtype(cfg.dtype),
+            )
+        else:
+            data = jnp.asarray(data, jnp.dtype(cfg.dtype))
+            data_train = data[train_idx]
+            data_val = data[val_idx] if n_val else data_train
 
         if state is None:
             state = self.init_state(k_init)
 
-        if mesh is not None:
+        if mesh is not None and not stream:
             from simulgen_vae_tpu.parallel.sharding import (
                 shard_batch,
                 shard_state,
@@ -231,7 +329,12 @@ class VAETrainer:
         for epoch in range(epochs):
             t0 = time.time()
             key, k_epoch, k_val = jax.random.split(key, 3)
-            state, metrics = self._train_epoch(state, data_train, k_epoch)
+            if stream:
+                state, metrics = self.train_epoch_streaming(
+                    state, data_train, k_epoch
+                )
+            else:
+                state, metrics = self._train_epoch(state, data_train, k_epoch)
 
             if epoch % val_every == 0 or epoch == epochs - 1:
                 vm = self._eval_epoch(state, data_val, k_val)

@@ -35,6 +35,20 @@ def device_memory_mb(device: Optional[jax.Device] = None) -> dict:
     }
 
 
+def device_memory_cleanup() -> None:
+    """Best-effort device-memory release between pipeline stages.
+
+    TPU analog of the reference's gc-walk ``vram_cleanup`` (utils.py:354-426),
+    which moves every CUDA tensor to CPU.  Under jax, live buffers are owned
+    by Python references; dropping compilation caches releases executables
+    and their scratch allocations.
+    """
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+
+
 def print_mem_checkpoint(msg: str, debug_mode: int = 0) -> None:
     if debug_mode != 1:
         return

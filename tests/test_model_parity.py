@@ -27,7 +27,7 @@ def test_conv_block_parity():
     x_t = torch.randn(3, 16, 10)
 
     conv_p, gn_p = oracle.cgg_params(tblock.seq[0])
-    params = {"params": {"Conv1d_0": conv_p, "GroupNorm_0": gn_p}}
+    params = {"params": {"Conv1d_0": conv_p, "NormAct_0": gn_p}}
 
     fblock = ConvBlock(12, small=True)
     out_f = fblock.apply(params, to_jax(x_t).transpose(0, 2, 1))
@@ -46,7 +46,7 @@ def test_decoder_residual_block_parity():
     for j, stage in enumerate(tblock.seq):
         conv_p, gn_p = oracle.cgg_params(stage)
         params["params"][f"Conv1d_{j}"] = conv_p
-        params["params"][f"GroupNorm_{j}"] = gn_p
+        params["params"][f"NormAct_{j}"] = gn_p
 
     fblock = DecoderResidualBlock(8, small=True)
     out_f = fblock.apply(params, to_jax(x_t).transpose(0, 2, 1))
@@ -59,9 +59,9 @@ def _encoder_params(tenc, n_levels):
     p = {}
     for i in range(n_levels):
         conv_p, gn_p = oracle.cgg_params(tenc.blocks[i].seq[0].seq if False else tenc.blocks[i].seq[0])
-        p[f"enc_block_{i}"] = {"Conv1d_0": conv_p, "GroupNorm_0": gn_p}
+        p[f"enc_block_{i}"] = {"Conv1d_0": conv_p, "NormAct_0": gn_p}
         conv_p, gn_p = oracle.cgg_params(tenc.res[i].seq[0])
-        p[f"enc_res_{i}"] = {"Conv1d_0": conv_p, "GroupNorm_0": gn_p}
+        p[f"enc_res_{i}"] = {"Conv1d_0": conv_p, "NormAct_0": gn_p}
         p[f"xs_linear_{i}"] = {"Dense_0": oracle.t2f_linear(tenc.xs_linear[i])}
     p["last_x_linear"] = {"Dense_0": oracle.t2f_linear(tenc.last)}
     return p
@@ -94,14 +94,14 @@ def _injector_params(tinj):
     return {
         "Dense_0": {"Dense_0": oracle.t2f_linear(tinj.lin)},
         "Conv1d_0": conv_p,
-        "GroupNorm_0": gn_p,
+        "NormAct_0": gn_p,
     }
 
 
 def _cond_head_params(thead):
     conv_p, gn_p = oracle.cgg_params(thead.res_seq)
     return {
-        "ResidualBlock_0": {"Conv1d_0": conv_p, "GroupNorm_0": gn_p},
+        "ResidualBlock_0": {"Conv1d_0": conv_p, "NormAct_0": gn_p},
         "Conv1d_0": {"Conv_0": oracle.t2f_conv(thead.out)},
     }
 
@@ -117,14 +117,14 @@ def _decoder_params(tdec, n_filters):
         for j, stage in enumerate(tdec.dec_res[i].seq):
             conv_p, gn_p = oracle.cgg_params(stage)
             res[f"Conv1d_{j}"] = conv_p
-            res[f"GroupNorm_{j}"] = gn_p
+            res[f"NormAct_{j}"] = gn_p
         p[f"dec_res_{i}"] = res
     for i in range(n - 1):
         p[f"condition_z_{i}"] = _cond_head_params(tdec.cond_z[i])
         p[f"xs_sequence_{i}"] = _injector_params(tdec.xs_seq[i])
         p[f"condition_xz_{i}"] = _cond_head_params(tdec.cond_xz[i])
     p["recon_conv"] = {"Conv_0": oracle.t2f_conv(tdec.recon_conv)}
-    p["recon_norm"] = {"GroupNorm_0": oracle.t2f_gn(tdec.recon_norm)}
+    p["recon_norm"] = oracle.t2f_gn(tdec.recon_norm)
     return p
 
 

@@ -208,8 +208,9 @@ def t2f_gn(gn: nn.GroupNorm):
 
 
 def cgg_params(seq):
-    """Params for a Conv1d->GN->GELU stage wrapped in our Conv1d/GroupNorm."""
+    """Params for a Conv1d->GN->GELU stage: (Conv1d_i subtree, NormAct_i
+    subtree) matching our blocks' param layout."""
     return (
         {"Conv_0": t2f_conv(seq[0])},
-        {"GroupNorm_0": t2f_gn(seq[1])},
+        t2f_gn(seq[1]),
     )
