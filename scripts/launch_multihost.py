@@ -19,7 +19,10 @@ For non-TPU-pod setups pass the coordinator explicitly:
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

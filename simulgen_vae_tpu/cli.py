@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="override n_epoch")
     parser.add_argument("--no_wipe", action="store_true",
                         help="skip the reference's destructive folder init")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume VAE training from the latest checkpoint")
+    parser.add_argument("--stream", action="store_true",
+                        help="stream batches from host memory (datasets "
+                             "larger than device HBM)")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -173,12 +178,19 @@ def main(argv=None) -> int:
         ckpt = CheckpointManager("checkpoints/vae",
                                  save_interval_epochs=max(cfg.n_epochs // 10, 1))
 
+        init_state = None
+        remaining = cfg.n_epochs
+        if args.resume and ckpt.latest_step() is not None:
+            init_state = ckpt.restore(trainer.init_state(key))
+            remaining = max(cfg.n_epochs - int(init_state.epoch), 0)
+            print(f"Resuming from epoch {int(init_state.epoch)} "
+                  f"({remaining} epochs remaining)")
+
         state, history = trainer.fit(
-            new_x_train, key, mesh=mesh,
+            new_x_train, key, state=init_state, mesh=mesh,
+            stream=args.stream, epochs=remaining, ckpt_manager=ckpt,
             log_fn=lambda e, m: logger.log(e, m, cfg.n_epochs),
         )
-        ckpt.save(state, cfg.n_epochs)
-        ckpt.wait()
         logger.close()
 
         eval_params = trainer.eval_params(state)

@@ -244,7 +244,7 @@ class E2ETrainer:
             state: Optional[LCTrainState] = None, val_split: float = 0.3,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
             epochs: Optional[int] = None, track_best: bool = True):
-        epochs = epochs or self.epochs
+        epochs = self.epochs if epochs is None else epochs
         arrays = [np.nan_to_num(np.asarray(a, np.float32), nan=0.0)
                   for a in (x, y1, y2, target)]
 

@@ -225,7 +225,7 @@ class LCTrainer:
         NaN inputs are scrubbed to zero like LatentConditionerDataset
         (utils.py:124-134).
         """
-        epochs = epochs or self.epochs
+        epochs = self.epochs if epochs is None else epochs
         x = np.nan_to_num(np.asarray(x, np.float32), nan=0.0)
         y1 = np.nan_to_num(np.asarray(y1, np.float32), nan=0.0)
         y2 = np.nan_to_num(np.asarray(y2, np.float32), nan=0.0)

@@ -238,14 +238,26 @@ class VAETrainer:
         perm = rng.permutation(n)[: num_batches * bsz].reshape(num_batches, bsz)
         dtype = jnp.dtype(cfg.dtype)
 
+        # Host-side gather goes through the native C++ assembler when
+        # available (multi-threaded, fused f32->bf16 downcast halves H2D
+        # bytes); numpy fallback otherwise.
+        from simulgen_vae_tpu.data import native_loader
+
+        to_bf16 = (dtype == jnp.bfloat16 and native_loader.BF16 is not None
+                   and data.dtype == np.float32)
+
+        def host_gather(idx):
+            out = native_loader.gather_rows(data, idx, to_bf16=to_bf16)
+            return jax.device_put(out if to_bf16 else out.astype(dtype, copy=False))
+
         # Keep metrics on device until epoch end so float() syncs don't
         # serialize the stream (async dispatch overlaps H2D with compute).
         per_step = []
         for i in range(num_batches):
             idx = perm[i]
             pidx = rng.integers(0, n, size=bsz)
-            batch = jax.device_put(jnp.asarray(data[idx], dtype))
-            partner = jax.device_put(jnp.asarray(data[pidx], dtype))
+            batch = host_gather(idx)
+            partner = host_gather(pidx)
             state, metrics = self._train_step(
                 state, batch, partner, jax.random.fold_in(key, i)
             )
@@ -280,7 +292,8 @@ class VAETrainer:
             state: Optional[VAETrainState] = None,
             val_split: float = 0.2, val_every: int = 20,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None, mesh=None, stream: bool = False):
+            epochs: Optional[int] = None, mesh=None, stream: bool = False,
+            ckpt_manager=None):
         """Train on [P, T, N] data with an 80/20 split (reference default).
 
         If ``mesh`` is given, the state and data are placed with the
@@ -290,7 +303,7 @@ class VAETrainer:
         subset.  Returns (state, history dict of per-epoch metric arrays).
         """
         cfg = self.cfg
-        epochs = epochs or cfg.n_epochs
+        epochs = cfg.n_epochs if epochs is None else epochs
         k_split, k_init, key = jax.random.split(key, 3)
 
         n = data.shape[0]
@@ -348,7 +361,12 @@ class VAETrainer:
                 history.setdefault(k, []).append(v)
             if log_fn is not None:
                 log_fn(epoch, metrics)
+            if ckpt_manager is not None:
+                ckpt_manager.maybe_save(state, int(state.epoch))
 
+        if ckpt_manager is not None:
+            ckpt_manager.maybe_save(state, int(state.epoch), force=True)
+            ckpt_manager.wait()
         return state, {k: np.asarray(v) for k, v in history.items()}
 
     # -- inference helpers -------------------------------------------------
