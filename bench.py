@@ -177,7 +177,8 @@ def main():
         small=True, n_epochs=100, batch_size=batch, lr=1e-3, alpha=1e6,
         dtype=dtype,
     )
-    trainer = VAETrainer(cfg, donate=False)
+    # donate=True: epochs chain state -> in-place param/opt updates.
+    trainer = VAETrainer(cfg, donate=True)
 
     rng = np.random.default_rng(0)
     data = (rng.standard_normal((resident_samples, num_time, num_node))

@@ -31,13 +31,43 @@ _FORCE = os.environ.get("SIMULGEN_PALLAS")
 
 
 def pallas_enabled() -> bool:
+    """Opt-in via SIMULGEN_PALLAS=1.
+
+    Measured on v5e (flagship geometry, 16x200x95008): the fused kernel wins
+    ~7% on the forward pass but the custom-VJP backward (rematerialized via
+    the XLA reference) gives it back, netting -3.5% on the full train step —
+    so training defaults to the XLA path.  Set SIMULGEN_PALLAS=1 for
+    inference/forward-dominated workloads; an analytic backward kernel is
+    roadmap work (docs/ROADMAP.md).
+    """
     if _FORCE is not None:
         return _FORCE not in ("0", "false", "off")
-    return jax.default_backend() == "tpu"
+    return False
 
 
-def _activate(x, act: str):
+def _erf(x):
+    """Rational erf approximation (Abramowitz & Stegun 7.1.26, |err| <=
+    1.5e-7 — below f32 resolution for gelu).  Mosaic lacks an erf/erfc
+    lowering, so the Pallas kernel can't call jax.nn.gelu(approximate=False)
+    directly."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _exact_gelu_kernel_safe(x):
+    """Exact (erf) GELU built from primitives Mosaic can lower."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _activate(x, act: str, in_kernel: bool = False):
     if act == "gelu":
+        if in_kernel:
+            return _exact_gelu_kernel_safe(x)
         return jax.nn.gelu(x, approximate=False)
     if act == "tanh":
         return jnp.tanh(x)
@@ -60,13 +90,53 @@ def group_norm_gelu_reference(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return _activate(out, act).astype(x.dtype)
 
 
-def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, eps: float, act: str):
-    x = x_ref[0].astype(jnp.float32)          # [T, Cg]
-    mean = jnp.mean(x)
-    var = jnp.mean((x - mean) ** 2)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, num_groups: int,
+            eps: float, act: str):
+    """One sample per program: full [T, C] block in VMEM.
+
+    Group statistics use a one-hot [C, G] matmul instead of reshapes —
+    Mosaic-friendly for ANY group width (11876-wide groups included), and
+    the reductions ride the MXU.
+    """
+    x = x_ref[0].astype(jnp.float32)          # [T, C]
+    t, c = x.shape
+    g = num_groups
+    cg = c // g
+
+    # One pass over [T, C] for per-column sums, then tiny per-group masked
+    # reductions on [1, C] vectors — exact f32 on the VPU (MXU matmuls would
+    # round the statistics through bf16).
+    rowsum = jnp.sum(x, axis=0, keepdims=True)               # [1, C]
+    rowsq = jnp.sum(x * x, axis=0, keepdims=True)            # [1, C]
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // cg
+
+    denom = float(t * cg)
+    mean_c = jnp.zeros((1, c), jnp.float32)
+    var_c = jnp.zeros((1, c), jnp.float32)
+    for gi in range(g):
+        mask = col_group == gi
+        s = jnp.sum(jnp.where(mask, rowsum, 0.0))
+        sq = jnp.sum(jnp.where(mask, rowsq, 0.0))
+        m = s / denom
+        v = sq / denom - m * m
+        mean_c = jnp.where(mask, m, mean_c)
+        var_c = jnp.where(mask, v, var_c)
+
+    xn = (x - mean_c) * jax.lax.rsqrt(var_c + eps)
     out = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
-    out_ref[0] = _activate(out, act).astype(out_ref.dtype)
+    out_ref[0] = _activate(out, act, in_kernel=True).astype(out_ref.dtype)
+
+
+# VMEM budget for the per-sample [T, C] f32 block.  Measured on v5e: the
+# scoped VMEM footprint is ~8.6x the block (double-buffered in/out blocks
+# plus x/x^2/activation temporaries), against a 16 MB scoped limit — so the
+# block itself must stay under ~1.8 MB.  Larger feature maps fall back to
+# the XLA reference (a tiled two-phase kernel is roadmap work).
+VMEM_BLOCK_BYTES = int(1.5 * 1024 * 1024)
+
+
+def pallas_supported(t: int, c: int) -> bool:
+    return t * c * 4 <= VMEM_BLOCK_BYTES
 
 
 def _pallas_forward(x, scale, bias, num_groups: int, eps: float,
@@ -74,20 +144,18 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float,
     from jax.experimental import pallas as pl
 
     b, t, c = x.shape
-    g = num_groups
-    cg = c // g
     interpret = jax.default_backend() != "tpu"
 
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps, act=act),
+        functools.partial(_kernel, num_groups=num_groups, eps=eps, act=act),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(b, g),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, t, cg), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((cg,), lambda i, j: (j,)),
-            pl.BlockSpec((cg,), lambda i, j: (j,)),
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, t, cg), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(x, scale, bias)
 
@@ -119,9 +187,10 @@ fused_group_norm_gelu.defvjp(_fwd, _bwd)
 def group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
                     act: str = "gelu",
                     use_pallas: bool | None = None) -> jax.Array:
-    """Dispatch: Pallas fused kernel on TPU, XLA reference elsewhere."""
+    """Dispatch: Pallas fused kernel on TPU (when the per-sample block fits
+    VMEM), XLA reference elsewhere."""
     if use_pallas is None:
         use_pallas = pallas_enabled()
-    if use_pallas:
+    if use_pallas and pallas_supported(x.shape[1], x.shape[2]):
         return fused_group_norm_gelu(x, scale, bias, num_groups, eps, act)
     return group_norm_gelu_reference(x, scale, bias, num_groups, eps, act)
