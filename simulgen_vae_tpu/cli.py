@@ -194,6 +194,9 @@ def main(argv=None) -> int:
         logger.close()
 
         eval_params = trainer.eval_params(state)
+        from simulgen_vae_tpu.utils.checkpoint import save_flax_model
+
+        save_flax_model("model_save/SimulGen-VAE", {"params": eval_params})
         latent_vectors, hierarchical, recon_loss, _, _ = \
             evaluate_vae_reconstruction(
                 vae_model, eval_params, new_x_train, key,
@@ -331,6 +334,13 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
     lc_ckpt.save(lc_state, int(lc_state.epoch))
     lc_ckpt.wait()
     lc_ckpt.close()
+
+    from simulgen_vae_tpu.utils.checkpoint import save_flax_model
+
+    save_flax_model("model_save/LatentConditioner", {
+        "params": lc_state.params,
+        "batch_stats": lc_state.batch_stats,
+    })
 
     print("LatentConditioner training completed successfully")
     print("Starting reconstruction evaluation...")

@@ -63,6 +63,29 @@ class CheckpointManager:
         self._mngr.close()
 
 
+def save_flax_model(path: str, variables: dict) -> None:
+    """Serialize model variables (flax msgpack) to a single file.
+
+    Artifact parity with the reference's ``torch.save(model, ...)`` files
+    (``model_save/SimulGen-VAE``, ``model_save/LatentConditioner``) — same
+    paths, a safe serialization format instead of pickled code.
+    """
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def load_flax_model(path: str, template: dict) -> dict:
+    """Restore variables saved by :func:`save_flax_model` into the structure
+    of ``template``."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def save_latents(save_dir: str, latent_vectors: np.ndarray,
                  hierarchical: np.ndarray) -> None:
     """Reference artifact layout (SimulGen-VAE.py:340-341)."""
