@@ -178,7 +178,9 @@ def main():
         dtype=dtype,
     )
     # donate=True: epochs chain state -> in-place param/opt updates.
-    trainer = VAETrainer(cfg, donate=True)
+    # fast_rng: RBG generator for the bulk augmentation noise (~300M draws
+    # per step at flagship scale — threefry spends ~15 ms/step on this).
+    trainer = VAETrainer(cfg, donate=True, fast_rng=on_tpu)
 
     rng = np.random.default_rng(0)
     data = (rng.standard_normal((resident_samples, num_time, num_node))

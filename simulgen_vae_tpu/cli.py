@@ -256,6 +256,22 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
         )
         physical_input = physical_input / 255.0
         is_image = True
+    elif data_type == "image_pca":
+        # PCA_MLP mode: the reference ships this reader
+        # (latent_conditioner.py:59-98) but never wires it into main;
+        # completed here — PCA coefficients feed the MLP conditioner.
+        from simulgen_vae_tpu.data.images import (
+            read_latent_conditioner_dataset_img_pca,
+        )
+
+        print("Loading image data with PCA preprocessing for MLP...")
+        physical_input, _ = read_latent_conditioner_dataset_img_pca(
+            lc_cfg.param_dir, lc_cfg.param_data_type,
+        )
+        physical_input, _ = latent_conditioner_scaler(
+            physical_input, "./model_save/latent_conditioner_input_scaler.pkl"
+        )
+        is_image = False
     elif data_type == "csv":
         print("Loading csv data for MLP...")
         physical_input = read_latent_conditioner_dataset(lc_cfg.param_dir)
@@ -266,7 +282,8 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
     else:
         raise NotImplementedError(
             f"Unrecognized latent_conditioner_data_type: {data_type}. "
-            'Supported options: "image" (CNN), "image_vit" (ViT), "csv" (MLP)'
+            'Supported options: "image" (CNN), "image_vit" (ViT), '
+            '"image_pca" (PCA->MLP), "csv" (MLP)'
         )
 
     out_latent, lv_scaler = latent_conditioner_scaler(
@@ -292,7 +309,7 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
             size2=size2, dropout_rate=lc_cfg.dropout_rate,
         )
         lc_sn = None
-    else:
+    else:  # csv / image_pca -> MLP conditioner
         lc_model = LatentConditioner(
             lc_cfg.filters, cfg.latent_dim_end, physical_input.shape[-1],
             cfg.latent_dim, size2, dropout_rate=lc_cfg.dropout_rate,

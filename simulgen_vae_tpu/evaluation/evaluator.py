@@ -95,6 +95,19 @@ class ReconstructionEvaluator:
         return {"pred_mse": pred_mse, "true_mse": true_mse,
                 "predicted": predicted, "true_recon": true_recon}
 
+    def evaluate_reconstruction_comparison_e2e(
+            self, conditioner_fn, e2e_arrays, latent_vectors_scaler,
+            xs_scaler, save_dir: str = "checkpoints", max_plots: int = 10,
+            save_plots: bool = True):
+        """E2E-dataset variant (reference rec_eval.py:106-158): same
+        comparison driven from (x, y1, y2, target) quadruplet arrays."""
+        x, y1, y2, target = e2e_arrays
+        return self.evaluate_reconstruction_comparison(
+            conditioner_fn, x, y1, y2, target, latent_vectors_scaler,
+            xs_scaler, save_dir=save_dir, max_plots=max_plots,
+            save_plots=save_plots,
+        )
+
     def _plot_comparison(self, idx, original, predicted, true_recon, save_dir):
         """2x2 dual-view comparison plot (rec_eval.py:180-256).
 

@@ -206,6 +206,90 @@ class Dense(nn.Module):
         return nn.Dense(self.features, kernel_init=he_uniform, dtype=self.dtype)(x)
 
 
+class FusedPointwiseNormTanh(nn.Module):
+    """Fused readout: k=1 conv -> GroupNorm -> Tanh in ONE full-map pass.
+
+    The readout (decoder.py:117-121) maps ``[B,T,F] -> [B,T,nodes]`` with a
+    pointwise conv then GroupNorm+Tanh over 95008 channels — naively three
+    bandwidth-bound passes over a ~2.4 GB map (measured 5.5 + 7.2 ms fwd on
+    v5e).  Because the conv is pointwise, the GroupNorm statistics of
+    ``y = x W + b`` are computable from ``x`` and ``W`` alone:
+
+        sum_g  y  = w_g . sum_t x_t + T b_g           (w_g = per-group col sum)
+        sum_g  y^2 = sum_t x_t^T M_g x_t + 2 bw_g . sum_t x_t + T ||b_g||^2
+                     (M_g = per-group Gram of W columns, [F,F])
+
+    so the normalization becomes a per-(sample, group) affine folded into the
+    matmul epilogue: one pass writes the final tanh'd output.  Statistics in
+    f32; same math as GroupNorm up to float association (tested vs torch).
+
+    Measured on v5e (flagship): the analytic path's backward (gradients
+    through the Gram/weight aggregates) costs more than the forward saves —
+    144.9 vs 155.8 samples/s — so ``analytic=False`` (direct matmul + GN)
+    is the default; both paths share the same parameter layout.
+    """
+
+    num_node: int
+    dtype: Any = jnp.float32
+    eps: float = 1e-5
+    analytic: bool = False
+
+    @nn.compact
+    def __call__(self, h):  # h: [B, T, F]
+        f = h.shape[-1]
+        c = self.num_node
+        t = h.shape[1]
+        g = group_count(c)
+        cg = c // g
+
+        kernel = self.param("kernel", he_uniform, (f, c))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        norm_bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+
+        if not self.analytic:
+            from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu
+
+            y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
+                           preferred_element_type=jnp.float32)
+            y = (y + bias.astype(jnp.float32)).astype(h.dtype)
+            return group_norm_gelu(y, scale, bias=norm_bias, num_groups=g,
+                                   eps=self.eps, act="tanh").astype(self.dtype)
+
+        h32 = h.astype(jnp.float32)
+        k32 = kernel.astype(jnp.float32).reshape(f, g, cg)
+        b32 = bias.astype(jnp.float32).reshape(g, cg)
+
+        w_sum = jnp.sum(k32, axis=2)                    # [F, G]
+        b_sum = jnp.sum(b32, axis=1)                    # [G]
+        bsq_sum = jnp.sum(b32 ** 2, axis=1)             # [G]
+        gram = jnp.einsum("fgc,egc->gfe", k32, k32)     # [G, F, F]
+        bw = jnp.einsum("fgc,gc->gf", k32, b32)         # [G, F]
+
+        hsum = jnp.sum(h32, axis=1)                     # [B, F]
+        sum_y = hsum @ w_sum + t * b_sum                # [B, G]
+        hmh = jnp.einsum("btf,gfe,bte->bg", h32, gram, h32)
+        sum_y2 = hmh + 2.0 * (hsum @ bw.T) + t * bsq_sum
+
+        denom = float(t * cg)
+        mean = sum_y / denom                            # [B, G]
+        var = sum_y2 / denom - mean ** 2
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.eps)
+
+        scale32 = scale.astype(jnp.float32)
+        inv_c = jnp.repeat(inv, cg, axis=1)             # [B, C]
+        mean_c = jnp.repeat(mean, cg, axis=1)
+        eff_scale = inv_c * scale32[None, :]
+        eff_shift = (norm_bias.astype(jnp.float32)[None, :]
+                     - mean_c * eff_scale)
+
+        y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        y = y + bias.astype(jnp.float32)
+        out = jnp.tanh(y * eff_scale[:, None, :] + eff_shift[:, None, :])
+        return out.astype(self.dtype)
+
+
 def flatten_channels_first(x: jax.Array) -> jax.Array:
     """Flatten [B, T, C] -> [B, C*T] in torch (channel-major) order.
 

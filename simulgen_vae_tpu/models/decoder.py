@@ -38,6 +38,7 @@ from simulgen_vae_tpu.models.blocks import (
     Dense,
     DecoderBlock,
     DecoderResidualBlock,
+    FusedPointwiseNormTanh,
     NormAct,
     ResidualBlock,
     gelu,
@@ -156,8 +157,8 @@ class Decoder(nn.Module):
                 z = reparameterize(self.make_rng("sample"), mu, std)
             zs.append(z)
 
-        x_hat = Conv1d(self.num_node, 1, self.dtype, name="recon_conv")(decoder_out)
-        # GroupNorm + Tanh readout (decoder.py:117-121), fused on TPU.
-        x_hat = NormAct(self.num_node, "tanh", self.dtype,
-                        name="recon_norm")(x_hat)
+        # Readout Conv(k=1) + GroupNorm + Tanh (decoder.py:117-121), fused
+        # into a single full-map pass via analytic group statistics.
+        x_hat = FusedPointwiseNormTanh(self.num_node, self.dtype,
+                                       name="recon")(decoder_out)
         return x_hat, kl_losses, zs

@@ -62,9 +62,15 @@ class VAETrainer:
     def __init__(self, cfg: VAEConfig,
                  aug: AugmentationConfig = AugmentationConfig(),
                  use_spectral_norm: Optional[bool] = None,
-                 donate: bool = True):
+                 donate: bool = True, fast_rng: bool = False):
         self.cfg = cfg
         self.aug = aug
+        # fast_rng: rekey each epoch onto the RBG generator — much cheaper
+        # bulk random bits on TPU than threefry (augmentation draws ~300M
+        # values/step at flagship scale), at the cost of partition-dependent
+        # streams; keep False when bitwise mesh/single-device equivalence
+        # matters (tests rely on it).
+        self.fast_rng = fast_rng
         self.mesh = None  # set by fit(mesh=...) before first compile
         self.use_sn = (cfg.use_spectral_norm if use_spectral_norm is None
                        else use_spectral_norm)
@@ -105,6 +111,12 @@ class VAETrainer:
         if not self.use_sn:
             return params, sn_u
         return spectral_normalize(params, sn_u, update=update)
+
+    def _rekey(self, key):
+        if not self.fast_rng:
+            return key
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return jax.random.key(seed, impl="rbg")
 
     def _constrain_batch(self, batch):
         """Pin the gathered batch to the data/model mesh axes (GSPMD hint).
@@ -153,7 +165,8 @@ class VAETrainer:
                                   t_0=max(cfg.n_epochs // 4, 1), t_mult=2,
                                   eta_min=cfg.lr * 1e-4)
 
-        k_perm, k_scan = jax.random.split(key)
+        k_perm, key = jax.random.split(key)
+        k_scan = self._rekey(key)
         perm = jax.random.permutation(k_perm, n)[: num_batches * bsz]
         perm = perm.reshape(num_batches, bsz)
 
@@ -201,7 +214,7 @@ class VAETrainer:
         lr = cosine_warm_restarts(state.epoch, cfg.lr,
                                   t_0=max(cfg.n_epochs // 4, 1), t_mult=2,
                                   eta_min=cfg.lr * 1e-4)
-        k_aug, k_model = jax.random.split(key)
+        k_aug, k_model = jax.random.split(self._rekey(key))
         batch = augment_batch(k_aug, batch, partner, self.aug)
         batch = self._constrain_batch(batch)
 

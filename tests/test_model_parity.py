@@ -123,8 +123,13 @@ def _decoder_params(tdec, n_filters):
         p[f"condition_z_{i}"] = _cond_head_params(tdec.cond_z[i])
         p[f"xs_sequence_{i}"] = _injector_params(tdec.xs_seq[i])
         p[f"condition_xz_{i}"] = _cond_head_params(tdec.cond_xz[i])
-    p["recon_conv"] = {"Conv_0": oracle.t2f_conv(tdec.recon_conv)}
-    p["recon_norm"] = oracle.t2f_gn(tdec.recon_norm)
+    # fused readout: kernel [F, C] from torch Conv1d [C, F, 1]
+    p["recon"] = {
+        "kernel": tdec.recon_conv.weight.detach().numpy()[:, :, 0].T,
+        "bias": tdec.recon_conv.bias.detach().numpy(),
+        "scale": tdec.recon_norm.weight.detach().numpy(),
+        "norm_bias": tdec.recon_norm.bias.detach().numpy(),
+    }
     return p
 
 

@@ -52,10 +52,10 @@ def test_param_sharding_rules():
     flat_s = traverse_util.flatten_dict(sh)
     emb = flat_s[("encoder", "enc_block_0", "Conv1d_0", "Conv_0", "kernel")]
     assert emb.spec == jax.sharding.PartitionSpec(None, "model", None)
-    readout = flat_s[("decoder", "recon_conv", "Conv_0", "kernel")]
-    assert readout.spec == jax.sharding.PartitionSpec(None, None, "model")
+    readout = flat_s[("decoder", "recon", "kernel")]
+    assert readout.spec == jax.sharding.PartitionSpec(None, "model")
     # GroupNorm over nodes sharded too
-    rn = flat_s[("decoder", "recon_norm", "scale")]
+    rn = flat_s[("decoder", "recon", "scale")]
     assert rn.spec == jax.sharding.PartitionSpec("model")
     # ordinary kernels replicated
     other = flat_s[("encoder", "enc_block_1", "Conv1d_0", "Conv_0", "kernel")]
