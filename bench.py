@@ -140,6 +140,49 @@ def bench_lc(kind: str = "mlp"):
                       "unit": "samples/sec/chip", "vs_baseline": None}))
 
 
+def bench_quality(epochs: int = 300):
+    """Quality benchmark (BASELINE config #1): train the small-preset VAE on
+    the synthetic 16x50x2048 ensemble and report final reconstruction MSE
+    and ELBO (recon MSE + KL at beta=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.config import VAEConfig
+    from simulgen_vae_tpu.data.dataset import synthetic_dataset
+    from simulgen_vae_tpu.data.scaler import data_scaler
+    from simulgen_vae_tpu.evaluation import evaluate_vae_reconstruction
+    from simulgen_vae_tpu.train.vae_trainer import VAETrainer
+
+    data = synthetic_dataset(16, 50, 2048, seed=0)
+    scaled, _, _ = data_scaler(data, 50, 2048, save_path=None)
+
+    cfg = VAEConfig(
+        num_param=16, num_time=50, num_node=2048,
+        latent_dim_end=32, latent_dim=8,
+        num_filter_enc=[64, 32, 16, 8], small=True,
+        n_epochs=epochs, batch_size=16, lr=1e-3, alpha=1e6,
+    )
+    trainer = VAETrainer(cfg, donate=False)
+    state, hist = trainer.fit(scaled, jax.random.PRNGKey(0), val_every=100)
+
+    params = trainer.eval_params(state)
+    _, _, recon_loss, _, _ = evaluate_vae_reconstruction(
+        trainer.model, params, scaled, jax.random.PRNGKey(1),
+        recon_iter=1, batch_size=16, verbose=False,
+    )
+    final_mse = float(np.mean(recon_loss))
+    elbo_proxy = float(hist["recon"][-1] / cfg.alpha + hist["kl"][-1])
+
+    print(json.dumps({
+        "metric": f"recon MSE (small-preset 16x50x2048, {epochs} epochs)",
+        "value": final_mse,
+        "unit": "mse",
+        "vs_baseline": None,
+        "extra": {"neg_elbo": elbo_proxy,
+                  "final_train_recon_mse": float(hist["recon_mse"][-1] / cfg.alpha)},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -229,5 +272,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] in ("lc_mlp", "lc_cnn"):
         bench_lc("mlp" if sys.argv[1] == "lc_mlp" else "cnn")
+    elif len(sys.argv) > 1 and sys.argv[1] == "quality":
+        bench_quality(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
     else:
         main()

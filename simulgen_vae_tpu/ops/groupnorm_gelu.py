@@ -160,6 +160,118 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float,
     )(x, scale, bias)
 
 
+def _act_grad(y, act: str):
+    """d act(y) / dy built from Mosaic-lowerable primitives."""
+    if act == "gelu":
+        # d/dy [0.5 y (1 + erf(y/sqrt2))] = 0.5(1+erf(y/sqrt2))
+        #                                   + y * exp(-y^2/2)/sqrt(2*pi)
+        inv_sqrt2 = 0.7071067811865476
+        inv_sqrt2pi = 0.3989422804014327
+        return (0.5 * (1.0 + _erf(y * inv_sqrt2))
+                + y * inv_sqrt2pi * jnp.exp(-0.5 * y * y))
+    if act == "tanh":
+        th = jnp.tanh(y)
+        return 1.0 - th * th
+    if act == "none":
+        return jnp.ones_like(y)
+    raise ValueError(act)
+
+
+def _bwd_kernel(x_ref, scale_ref, bias_ref, g_ref, dx_ref, dscale_ref,
+                dbias_ref, *, num_groups: int, eps: float, act: str):
+    """Analytic GroupNorm+activation backward, one sample per program.
+
+    Recomputes xn/y from x in VMEM (cheaper than saving the normalized map
+    to HBM), then:
+        da   = g * act'(y)
+        dgamma_c = sum_t da*xn ; dbeta_c = sum_t da      (per-sample partials)
+        dxn  = da * gamma
+        dx   = (dxn - mean_g(dxn) - xn * mean_g(dxn*xn)) / sigma_g
+    """
+    x = x_ref[0].astype(jnp.float32)
+    g_up = g_ref[0].astype(jnp.float32)
+    t, c = x.shape
+    gn = num_groups
+    cg = c // gn
+
+    rowsum = jnp.sum(x, axis=0, keepdims=True)
+    rowsq = jnp.sum(x * x, axis=0, keepdims=True)
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // cg
+    denom = float(t * cg)
+
+    mean_c = jnp.zeros((1, c), jnp.float32)
+    var_c = jnp.zeros((1, c), jnp.float32)
+    for gi in range(gn):
+        mask = col_group == gi
+        s = jnp.sum(jnp.where(mask, rowsum, 0.0))
+        sq = jnp.sum(jnp.where(mask, rowsq, 0.0))
+        m = s / denom
+        v = sq / denom - m * m
+        mean_c = jnp.where(mask, m, mean_c)
+        var_c = jnp.where(mask, v, var_c)
+
+    inv_sigma = jax.lax.rsqrt(var_c + eps)
+    xn = (x - mean_c) * inv_sigma
+    scale32 = scale_ref[:].astype(jnp.float32)
+    y = xn * scale32 + bias_ref[:].astype(jnp.float32)
+
+    da = g_up * _act_grad(y, act)
+    dbias_ref[0, 0] = jnp.sum(da, axis=0)
+    dscale_ref[0, 0] = jnp.sum(da * xn, axis=0)
+
+    dxn = da * scale32
+    dxn_sum = jnp.sum(dxn, axis=0, keepdims=True)            # [1, C]
+    dxnxn_sum = jnp.sum(dxn * xn, axis=0, keepdims=True)
+
+    m1 = jnp.zeros((1, c), jnp.float32)
+    m2 = jnp.zeros((1, c), jnp.float32)
+    for gi in range(gn):
+        mask = col_group == gi
+        a = jnp.sum(jnp.where(mask, dxn_sum, 0.0)) / denom
+        b = jnp.sum(jnp.where(mask, dxnxn_sum, 0.0)) / denom
+        m1 = jnp.where(mask, a, m1)
+        m2 = jnp.where(mask, b, m2)
+
+    dx_ref[0] = ((dxn - m1 - xn * m2) * inv_sigma).astype(dx_ref.dtype)
+
+
+def _pallas_backward(x, scale, bias, grad, num_groups: int, eps: float,
+                     act: str):
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    interpret = jax.default_backend() != "tpu"
+
+    dx, dscale_p, dbias_p = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_groups=num_groups, eps=eps,
+                          act=act),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            # [B, 1, C] so block last-two dims equal the array dims
+            # (Mosaic's divisibility rule).
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+        ),
+        interpret=interpret,
+    )(x, scale, bias, grad)
+
+    dscale = jnp.sum(dscale_p[:, 0], axis=0).astype(scale.dtype)
+    dbias = jnp.sum(dbias_p[:, 0], axis=0).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
                           act: str = "gelu"):
@@ -173,12 +285,7 @@ def _fwd(x, scale, bias, num_groups, eps, act):
 
 def _bwd(num_groups, eps, act, residuals, grad):
     x, scale, bias = residuals
-    _, vjp = jax.vjp(
-        lambda a, s, b: group_norm_gelu_reference(a, s, b, num_groups, eps,
-                                                  act),
-        x, scale, bias,
-    )
-    return vjp(grad)
+    return _pallas_backward(x, scale, bias, grad, num_groups, eps, act)
 
 
 fused_group_norm_gelu.defvjp(_fwd, _bwd)
