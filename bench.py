@@ -140,7 +140,7 @@ def bench_lc(kind: str = "mlp"):
                       "unit": "samples/sec/chip", "vs_baseline": None}))
 
 
-def bench_quality(epochs: int = 300):
+def bench_quality(epochs: int = 4000):
     """Quality benchmark (BASELINE config #1): train the small-preset VAE on
     the synthetic 16x50x2048 ensemble and report final reconstruction MSE
     and ELBO (recon MSE + KL at beta=1)."""
@@ -163,7 +163,20 @@ def bench_quality(epochs: int = 300):
         n_epochs=epochs, batch_size=16, lr=1e-3, alpha=1e6,
     )
     trainer = VAETrainer(cfg, donate=False)
-    state, hist = trainer.fit(scaled, jax.random.PRNGKey(0), val_every=100)
+    # Raw epoch chaining (no per-epoch host sync — each float() costs a
+    # tunnel round-trip); 80/20 split like fit().
+    key = jax.random.PRNGKey(0)
+    n_val = int(16 * 0.2)
+    data_train = jnp.asarray(scaled[: 16 - n_val])
+    state = trainer.init_state(key)
+    hist = {"recon": [], "kl": [], "recon_mse": []}
+    for epoch in range(epochs):
+        key, k = jax.random.split(key)
+        state, metrics = trainer._train_epoch(state, data_train, k)
+        if epoch % 500 == 0 or epoch == epochs - 1:
+            for name in hist:
+                hist[name].append(float(metrics[name]))
+    hist = {k2: np.asarray(v) for k2, v in hist.items()}
 
     params = trainer.eval_params(state)
     _, _, recon_loss, _, _ = evaluate_vae_reconstruction(
@@ -273,6 +286,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ("lc_mlp", "lc_cnn"):
         bench_lc("mlp" if sys.argv[1] == "lc_mlp" else "cnn")
     elif len(sys.argv) > 1 and sys.argv[1] == "quality":
-        bench_quality(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
+        bench_quality(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
     else:
         main()

@@ -6,17 +6,21 @@ bandwidth-bound op after the embedding matmuls.  This kernel computes the
 group statistics, normalization, affine, and exact GELU in one VMEM pass per
 (sample, group) grid cell: a single HBM read + write of the feature map.
 
-Grid: ``(B, G)``; each program loads the ``[T, C/G]`` slice of one sample's
-group (fits VMEM for every geometry this model family uses: the largest is
-200 x 11876 f32 = 9.5 MB), reduces mean/var, and writes the activated output.
-Group slices need not be 128-lane aligned — Mosaic handles padding.
+Grid: ``(B,)`` — one sample per program with the full ``[T, C]`` block in
+VMEM (Mosaic requires block last-dims 128-divisible or full-size, which
+rules out per-group blocking for arbitrary group widths).  Statistics are
+computed in one pass with f32 VPU masked reductions; feature maps whose
+per-sample block exceeds the measured VMEM budget fall back to the XLA
+reference via :func:`pallas_supported`.
 
-Gradient: ``jax.custom_vjp`` whose backward differentiates the identical-math
-XLA reference implementation (rematerialized — same activations-recompute
-trade the trainer makes anyway).  Forward parity with torch GroupNorm+GELU is
-covered by tests; ``interpret=True`` makes the same kernel run on CPU.
+Gradient: ``jax.custom_vjp`` with an analytic backward kernel (``_bwd_kernel``)
+that recomputes xn/y in VMEM and emits dx plus per-sample dscale/dbias
+partials.  Forward parity with torch GroupNorm+GELU and gradient parity with
+XLA autodiff are covered by tests; ``interpret=True`` runs the same kernels
+on CPU (note: interpret mode does NOT validate Mosaic lowering — probe on
+hardware).
 
-Enable/disable with env ``SIMULGEN_PALLAS`` (default: on for TPU backends).
+Enable with env ``SIMULGEN_PALLAS=1`` (see :func:`pallas_enabled`).
 """
 
 from __future__ import annotations
@@ -33,12 +37,11 @@ _FORCE = os.environ.get("SIMULGEN_PALLAS")
 def pallas_enabled() -> bool:
     """Opt-in via SIMULGEN_PALLAS=1.
 
-    Measured on v5e (flagship geometry, 16x200x95008): the fused kernel wins
-    ~7% on the forward pass but the custom-VJP backward (rematerialized via
-    the XLA reference) gives it back, netting -3.5% on the full train step —
-    so training defaults to the XLA path.  Set SIMULGEN_PALLAS=1 for
-    inference/forward-dominated workloads; an analytic backward kernel is
-    roadmap work (docs/ROADMAP.md).
+    Measured on v5e (flagship geometry, 16x200x95008), with the analytic
+    backward kernel: forward 25.9 ms vs 30.3 ms XLA (-15%), full train step
+    at parity (96.7 ms both).  Training therefore defaults to the XLA path
+    (no regression risk); set SIMULGEN_PALLAS=1 for inference / generation /
+    forward-dominated workloads where the 15% forward win is free.
     """
     if _FORCE is not None:
         return _FORCE not in ("0", "false", "off")
