@@ -173,6 +173,7 @@ class VAEConfig:
     # Numerics
     dtype: str = "float32"            # compute dtype: float32 | bfloat16
     use_spectral_norm: bool = True
+    remat: bool = False               # gradient checkpointing on block level
 
     # Parallelism
     data_axis: str = "data"

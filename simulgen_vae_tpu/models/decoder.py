@@ -99,11 +99,14 @@ class Decoder(nn.Module):
     num_time: int
     small: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, xs: Optional[Sequence[jax.Array]] = None,
                  mode: str = "random",
                  frozen_zs: Optional[Sequence[jax.Array]] = None):
+        res_cls = (nn.remat(DecoderResidualBlock) if self.remat
+                   else DecoderResidualBlock)
         filters = self.num_filter_dec
         n_levels = len(filters) - 1
         kl_losses = []
@@ -121,9 +124,9 @@ class Decoder(nn.Module):
 
             decoder_out = DecoderBlock(filters[i + 1], self.dtype,
                                        name=f"dec_block_{i}")(z_sample)
-            decoder_out = DecoderResidualBlock(filters[i + 1], self.small,
-                                               self.dtype,
-                                               name=f"dec_res_{i}")(decoder_out)
+            decoder_out = res_cls(filters[i + 1], self.small,
+                                  self.dtype,
+                                  name=f"dec_res_{i}")(decoder_out)
 
             if i == n_levels - 1:
                 break

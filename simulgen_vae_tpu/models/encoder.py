@@ -36,14 +36,18 @@ class Encoder(nn.Module):
     num_time: int
     small: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
+        res_cls = (nn.remat(EncoderResidualBlock) if self.remat
+                   else EncoderResidualBlock)
         xs = []
         for i, f in enumerate(self.num_filter_enc):
-            x = ConvBlock(f, self.small, self.dtype, name=f"enc_block_{i}")(x)
-            x = EncoderResidualBlock(f, self.small, self.dtype,
-                                     name=f"enc_res_{i}")(x)
+            x = conv_cls(f, self.small, self.dtype, name=f"enc_block_{i}")(x)
+            x = res_cls(f, self.small, self.dtype,
+                        name=f"enc_res_{i}")(x)
             flat = flatten_channels_first(x)
             xs.append(
                 Dense(self.hierarchical_dim, self.dtype,

@@ -34,15 +34,16 @@ class VAE(nn.Module):
     lossfun: str = "MSE"
     small: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False  # gradient checkpointing on the residual blocks
 
     def setup(self):
         self.encoder = Encoder(
             self.latent_dim, self.hierarchical_dim, self.num_filter_enc,
-            self.num_time, self.small, self.dtype,
+            self.num_time, self.small, self.dtype, self.remat,
         )
         self.decoder = Decoder(
             self.latent_dim, self.hierarchical_dim, self.num_filter_dec,
-            self.num_node, self.num_time, self.small, self.dtype,
+            self.num_node, self.num_time, self.small, self.dtype, self.remat,
         )
 
     def __call__(self, x):

@@ -84,6 +84,7 @@ class VAETrainer:
             lossfun=cfg.loss_type,
             small=cfg.small,
             dtype=jnp.dtype(cfg.dtype),
+            remat=cfg.remat,
         )
         self.tx = make_optimizer(cfg.lr)
         donate_args = (0,) if donate else ()
