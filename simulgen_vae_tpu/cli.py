@@ -114,9 +114,15 @@ def main(argv=None) -> int:
 
     params = parse_condition_file(args.condition)
     config = parse_training_parameters(params)
-    data_no, init_beta_divisor, num_filter_enc, lc_filter = read_preset(
-        args.preset_file
-    )
+    if args.preset == "1":
+        data_no, init_beta_divisor, num_filter_enc, lc_filter = read_preset(
+            args.preset_file
+        )
+    else:
+        from simulgen_vae_tpu.config import input_user_variables
+
+        data_no, init_beta_divisor, num_filter_enc, lc_filter = \
+            input_user_variables()
 
     small = args.size == "small"
     lc_only = int(args.train_latent_conditioner)
@@ -197,12 +203,33 @@ def main(argv=None) -> int:
         from simulgen_vae_tpu.utils.checkpoint import save_flax_model
 
         save_flax_model("model_save/SimulGen-VAE", {"params": eval_params})
+
+        # Evaluation stage is forward-only: the fused Pallas kernels are a
+        # free win here (docs/PERF.md) — enable on TPU, restore afterwards.
+        from simulgen_vae_tpu.ops.groupnorm_gelu import set_pallas
+
+        if jax.default_backend() == "tpu":
+            set_pallas(True)
+
+        # Reference evaluates train / val / whole (SimulGen-VAE.py:315-338).
+        n_train = int(len(new_x_train) * 0.8)
+        evaluate_vae_reconstruction(
+            vae_model, eval_params, new_x_train[:n_train], key,
+            recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
+            dataset_name="Training Reconstruction",
+        )
+        evaluate_vae_reconstruction(
+            vae_model, eval_params, new_x_train[n_train:], key,
+            recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
+            dataset_name="Validation",
+        )
         latent_vectors, hierarchical, recon_loss, _, _ = \
             evaluate_vae_reconstruction(
                 vae_model, eval_params, new_x_train, key,
                 recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
                 dataset_name="Whole Dataset",
             )
+        set_pallas(None)
         save_latents("model_save", latent_vectors, hierarchical)
         save_l2_loss("./SimulGen-VAE_L2_loss.txt", recon_loss)
     else:

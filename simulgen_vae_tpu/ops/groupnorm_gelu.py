@@ -32,6 +32,17 @@ import jax
 import jax.numpy as jnp
 
 _FORCE = os.environ.get("SIMULGEN_PALLAS")
+_OVERRIDE: bool | None = None
+
+
+def set_pallas(enabled: bool | None) -> None:
+    """Programmatic override of the Pallas dispatch (None = env default).
+
+    Used by inference-heavy stages (evaluation / generation) where the fused
+    forward kernel is a free ~15% win; affects subsequent traces only.
+    """
+    global _OVERRIDE
+    _OVERRIDE = enabled
 
 
 def pallas_enabled() -> bool:
@@ -43,6 +54,8 @@ def pallas_enabled() -> bool:
     (no regression risk); set SIMULGEN_PALLAS=1 for inference / generation /
     forward-dominated workloads where the 15% forward win is free.
     """
+    if _OVERRIDE is not None:
+        return _OVERRIDE
     if _FORCE is not None:
         return _FORCE not in ("0", "false", "off")
     return False
