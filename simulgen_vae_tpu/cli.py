@@ -99,8 +99,7 @@ def main(argv=None) -> int:
         dual_view_plotter,
         temporal_plotter,
     )
-    from simulgen_vae_tpu.parallel import make_mesh, shard_state
-    from simulgen_vae_tpu.parallel.sharding import shard_batch
+    from simulgen_vae_tpu.parallel import make_mesh
     from simulgen_vae_tpu.train.vae_trainer import VAETrainer
     from simulgen_vae_tpu.utils.checkpoint import (
         CheckpointManager,
@@ -252,7 +251,6 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
                                  latent_vectors, hierarchical, new_x_train,
                                  key) -> int:
     import jax
-    import jax.numpy as jnp
 
     from simulgen_vae_tpu.data.images import (
         read_latent_conditioner_dataset,
@@ -392,8 +390,6 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
     predict = (trainer.predict_fn(lc_state) if hasattr(trainer, "predict_fn")
                else None)
     if predict is None:
-        from simulgen_vae_tpu.models.spectral_norm import spectral_normalize
-
         def predict(x):
             p = lc_state.params
             variables = {"params": p}

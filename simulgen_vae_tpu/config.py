@@ -18,7 +18,7 @@ we obviously do not reproduce the crash.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 
 def parse_condition_file(filepath: str) -> dict:

@@ -10,7 +10,7 @@ scaling) against the original and the true-latent reconstruction.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

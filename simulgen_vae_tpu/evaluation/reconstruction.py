@@ -15,7 +15,7 @@ saved as ``model_save/latent_vectors.npy`` / ``model_save/xs.npy`` by the CLI.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from simulgen_vae_tpu.losses import get_recon_loss, kl, mse_loss

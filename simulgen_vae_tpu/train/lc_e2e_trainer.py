@@ -26,13 +26,12 @@ The decoder runs in mode='random' during training exactly like the reference
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from simulgen_vae_tpu.losses import get_recon_loss, mse_loss
 from simulgen_vae_tpu.models.spectral_norm import init_sn_state, spectral_normalize

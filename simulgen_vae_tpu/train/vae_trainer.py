@@ -24,7 +24,6 @@ batches.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
