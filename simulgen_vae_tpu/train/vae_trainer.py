@@ -259,9 +259,18 @@ class VAETrainer:
         to_bf16 = (dtype == jnp.bfloat16 and native_loader.BF16 is not None
                    and data.dtype == np.float32)
 
+        sharding = None
+        if self.mesh is not None:
+            from simulgen_vae_tpu.parallel.sharding import batch_sharding
+
+            sharding = batch_sharding(self.mesh, (bsz, data.shape[1],
+                                                  data.shape[2]))
+
         def host_gather(idx):
             out = native_loader.gather_rows(data, idx, to_bf16=to_bf16)
-            return jax.device_put(out if to_bf16 else out.astype(dtype, copy=False))
+            if not to_bf16:
+                out = out.astype(dtype, copy=False)
+            return jax.device_put(out, sharding)
 
         # Keep metrics on device until epoch end so float() syncs don't
         # serialize the stream (async dispatch overlaps H2D with compute).

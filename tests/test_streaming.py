@@ -49,3 +49,36 @@ def test_streaming_step_equals_scan_step_math():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]))
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_bf16_native_gather():
+    """bf16 streaming exercises the native fused f32->bf16 gather path."""
+    data = synthetic_dataset(8, 10, 16, seed=2)
+    scaled, _, _ = data_scaler(data, 10, 16, save_path=None)
+    cfg = VAEConfig(num_param=8, num_time=10, num_node=16,
+                    latent_dim_end=4, latent_dim=2, num_filter_enc=[8, 8],
+                    small=True, n_epochs=4, batch_size=4, alpha=10.0,
+                    dtype="bfloat16")
+    trainer = VAETrainer(cfg, donate=False)
+    state, hist = trainer.fit(scaled, jax.random.PRNGKey(0), epochs=3,
+                              stream=True, val_every=2)
+    assert np.isfinite(hist["loss"]).all()
+
+
+def test_streaming_with_mesh():
+    """Streaming + mesh: batches land sharded over the data axis."""
+    from simulgen_vae_tpu.parallel import make_mesh, shard_state
+
+    data = synthetic_dataset(16, 10, 16, seed=3)
+    scaled, _, _ = data_scaler(data, 10, 16, save_path=None)
+    cfg = VAEConfig(num_param=16, num_time=10, num_node=16,
+                    latent_dim_end=4, latent_dim=2, num_filter_enc=[8, 8],
+                    small=True, n_epochs=4, batch_size=8, alpha=10.0)
+    trainer = VAETrainer(cfg, donate=False)
+    mesh = make_mesh()  # 8-way data parallel
+    trainer.mesh = mesh
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = shard_state(state, mesh, cfg.num_node)
+    state, metrics = trainer.train_epoch_streaming(state, scaled,
+                                                   jax.random.PRNGKey(1))
+    assert np.isfinite(metrics["loss"])
