@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--time", type=int, default=200)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--filters", default="1024,512,256,128")
+    ap.add_argument("--no_sn", action="store_true",
+                    help="disable spectral norm to quantify its step cost")
     args = ap.parse_args()
 
     if args.pallas is not None:
@@ -60,7 +62,7 @@ def main():
                     num_filter_enc=filters, small=True, n_epochs=100,
                     batch_size=args.batch, lr=1e-3, alpha=1e6,
                     dtype="bfloat16")
-    trainer = VAETrainer(cfg, donate=False)
+    trainer = VAETrainer(cfg, donate=False, use_spectral_norm=not args.no_sn)
     model = trainer.model
 
     rng = np.random.default_rng(0)
@@ -103,7 +105,7 @@ def main():
     t_fwd = timed(run_fwd, sync)
     t_grad = timed(run_grad, sync)
     t_step = timed(run_step, sync)
-    print(f"pallas={os.environ.get('SIMULGEN_PALLAS', 'auto')} "
+    print(f"pallas={os.environ.get('SIMULGEN_PALLAS', 'auto')} sn={not args.no_sn} "
           f"nodes={args.nodes} T={args.time} B={args.batch}")
     print(f"forward            : {t_fwd * 1e3:8.2f} ms")
     print(f"forward+backward   : {t_grad * 1e3:8.2f} ms")

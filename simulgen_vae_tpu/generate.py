@@ -1,0 +1,192 @@
+"""First-class generation entry point: design parameters -> simulation field.
+
+The reference has NO dedicated inference path — generation is buried inside
+its evaluator (``reconstruction_evaluator.py:160-178``; SURVEY §3.5 calls
+this out).  Here it is a standalone stage: load the trained VAE + latent
+conditioner + scalers from ``model_save/``, run conditioner -> inverse-scale
+-> deterministic decode, and write ``[N, time, nodes]`` fields.
+
+CLI:  python -m simulgen_vae_tpu.generate --inputs params.csv --out gen.npy
+      python -m simulgen_vae_tpu.generate --inputs /new_images --input_type image
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_pipeline(condition: str = "input_data/condition.txt",
+                  preset_file: str = "preset.txt", size: str = "small",
+                  model_dir: str = "model_save"):
+    """Reconstruct the trained (vae_model, vae_params, lc_model, lc_variables,
+    scalers...) bundle from the artifact directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.config import (
+        LCConfig,
+        VAEConfig,
+        parse_condition_file,
+        parse_training_parameters,
+        read_preset,
+    )
+    from simulgen_vae_tpu.data.scaler import MinMaxScaler
+    from simulgen_vae_tpu.models import (
+        LatentConditioner,
+        LatentConditionerImg,
+        LatentConditionerViT,
+        VAE,
+    )
+    from simulgen_vae_tpu.utils.checkpoint import load_flax_model
+
+    raw = parse_training_parameters(parse_condition_file(condition))
+    _, _, num_filter_enc, lc_filter = read_preset(preset_file)
+    cfg = VAEConfig.from_condition(raw, num_filter_enc,
+                                   small=(size == "small"))
+    lc_cfg = LCConfig.from_condition(raw, lc_filter)
+
+    vae_model = VAE(
+        latent_dim=cfg.latent_dim_end, hierarchical_dim=cfg.latent_dim,
+        num_filter_enc=cfg.num_filter_enc, num_filter_dec=cfg.num_filter_dec,
+        num_node=cfg.num_node, num_time=cfg.num_time, lossfun=cfg.loss_type,
+        small=cfg.small,
+    )
+    key = jax.random.PRNGKey(0)
+    template = vae_model.init({"params": key, "sample": key},
+                              jnp.zeros((1, cfg.num_time, cfg.num_node)))
+    vae_vars = load_flax_model(os.path.join(model_dir, "SimulGen-VAE"),
+                               dict(template))
+
+    size2 = cfg.num_hier
+    data_type = lc_cfg.input_type
+    if data_type == "image":
+        lc_model = LatentConditionerImg(
+            lc_cfg.filters, cfg.latent_dim_end, cfg.latent_dim, size2,
+            dropout_rate=lc_cfg.dropout_rate,
+            use_attention=lc_cfg.use_spatial_attention,
+        )
+        sample_in = jnp.zeros((1, 256 * 256))
+    elif data_type == "image_vit":
+        lc_model = LatentConditionerViT(
+            latent_dim_end=cfg.latent_dim_end, latent_dim=cfg.latent_dim,
+            size2=size2, dropout_rate=lc_cfg.dropout_rate,
+        )
+        sample_in = jnp.zeros((1, 256 * 256))
+    else:
+        input_scaler = MinMaxScaler.load(
+            os.path.join(model_dir, "latent_conditioner_input_scaler.pkl"))
+        sample_in = jnp.zeros((1, input_scaler.scale_.shape[-1]))
+        lc_model = LatentConditioner(
+            lc_cfg.filters, cfg.latent_dim_end, sample_in.shape[-1],
+            cfg.latent_dim, size2, dropout_rate=lc_cfg.dropout_rate,
+        )
+
+    lc_template = lc_model.init({"params": key, "dropout": key}, sample_in,
+                                deterministic=True)
+    lc_vars = load_flax_model(os.path.join(model_dir, "LatentConditioner"),
+                              dict(lc_template))
+
+    lv_scaler = MinMaxScaler.load(
+        os.path.join(model_dir, "latent_vectors_scaler.pkl"))
+    xs_scaler = MinMaxScaler.load(os.path.join(model_dir, "xs_scaler.pkl"))
+    data_scaler = MinMaxScaler.load(os.path.join(model_dir, "scaler.pkl"))
+
+    return dict(cfg=cfg, lc_cfg=lc_cfg, vae_model=vae_model,
+                vae_vars=vae_vars, lc_model=lc_model, lc_vars=lc_vars,
+                lv_scaler=lv_scaler, xs_scaler=xs_scaler,
+                data_scaler=data_scaler)
+
+
+def generate(pipeline: dict, inputs: np.ndarray,
+             descale_output: bool = True) -> np.ndarray:
+    """Design inputs -> simulation fields ``[N, time, nodes]``.
+
+    ``inputs`` are already preprocessed conditioner inputs (scaled CSV rows
+    or /255 flattened images).  ``descale_output=True`` inverse-applies the
+    training data scaler so fields come back in physical units.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.models.vae import VAE
+
+    cfg = pipeline["cfg"]
+    lc_model = pipeline["lc_model"]
+    vae_model = pipeline["vae_model"]
+
+    y1, y2 = lc_model.apply(pipeline["lc_vars"], jnp.asarray(inputs),
+                            deterministic=True)
+    z = pipeline["lv_scaler"].inverse_transform(y1)
+    b, nh, hd = y2.shape
+    xs_flat = pipeline["xs_scaler"].inverse_transform(y2.reshape(b, nh * hd))
+    xs = [xs_flat.reshape(b, nh, hd)[:, i] for i in range(nh)]
+
+    field = vae_model.apply(pipeline["vae_vars"], z, xs, method=VAE.generate,
+                            rngs={"sample": jax.random.PRNGKey(0)})
+    field = np.asarray(field)
+
+    if descale_output:
+        ds = pipeline["data_scaler"]
+        field = np.asarray(ds.inverse_transform(
+            field.reshape(-1, cfg.num_node))).reshape(field.shape)
+    return field
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Generate simulation fields from design parameters "
+                    "(conditioner -> decoder, no solver)")
+    ap.add_argument("--inputs", required=True,
+                    help="CSV of parameters, or an image directory")
+    ap.add_argument("--input_type", default=None,
+                    choices=[None, "csv", "image"],
+                    help="default: from condition.txt input_type")
+    ap.add_argument("--out", default="output/generated.npy")
+    ap.add_argument("--condition", default="input_data/condition.txt")
+    ap.add_argument("--preset_file", default="preset.txt")
+    ap.add_argument("--size", default="small", choices=["small", "large"])
+    ap.add_argument("--model_dir", default="model_save")
+    ap.add_argument("--raw_scale", action="store_true",
+                    help="skip inverse data scaling (keep model units)")
+    args = ap.parse_args(argv)
+
+    pipe = load_pipeline(args.condition, args.preset_file, args.size,
+                         args.model_dir)
+    input_type = args.input_type or (
+        "image" if pipe["lc_cfg"].input_type.startswith("image") else "csv")
+
+    if input_type == "image":
+        from simulgen_vae_tpu.data.images import (
+            read_latent_conditioner_dataset_img,
+        )
+
+        param_dir = args.inputs
+        if not param_dir.startswith("/"):
+            param_dir = "/" + param_dir
+        raw, _ = read_latent_conditioner_dataset_img(
+            param_dir, pipe["lc_cfg"].param_data_type)
+        inputs = raw / 255.0
+    else:
+        from simulgen_vae_tpu.data.images import read_latent_conditioner_dataset
+        from simulgen_vae_tpu.data.scaler import MinMaxScaler
+
+        raw = read_latent_conditioner_dataset(args.inputs)
+        in_scaler = MinMaxScaler.load(
+            os.path.join(args.model_dir, "latent_conditioner_input_scaler.pkl"))
+        inputs = np.asarray(in_scaler.transform(raw))
+
+    fields = generate(pipe, np.float32(inputs),
+                      descale_output=not args.raw_scale)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.save(args.out, fields)
+    print(f"Generated {fields.shape[0]} fields "
+          f"[{fields.shape[1]} timesteps x {fields.shape[2]} nodes] "
+          f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

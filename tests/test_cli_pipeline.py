@@ -107,3 +107,27 @@ def test_cli_full_pipeline_csv(workdir, monkeypatch):
     # lc_only=1 restarts from saved latents + VAE checkpoint
     rc = main(["--preset=1", "--plot=2", "--lc_only=1", "--size=small"])
     assert rc == 0
+
+
+def test_generate_cli_from_artifacts(workdir, monkeypatch):
+    """Train the pipeline, then run the standalone generation CLI on fresh
+    CSV inputs (the first-class inference path the reference lacks)."""
+    monkeypatch.chdir(workdir)
+    from simulgen_vae_tpu.cli import main
+
+    rc = main(["--preset=1", "--plot=2", "--lc_only=0", "--size=small"])
+    assert rc == 0
+
+    rng = np.random.default_rng(7)
+    np.savetxt("new_params.csv", rng.standard_normal((5, 4)), delimiter=",")
+
+    from simulgen_vae_tpu.generate import main as gen_main
+
+    rc = gen_main(["--inputs", "new_params.csv", "--out", "output/gen.npy"])
+    assert rc == 0
+    fields = np.load("output/gen.npy")
+    assert fields.shape == (5, 10, 32)
+    assert np.isfinite(fields).all()
+    # descaled to physical units: outside the (-0.7, 0.7) model range is OK,
+    # but values must be in the data's ballpark
+    assert abs(fields).max() < 100.0
