@@ -53,7 +53,7 @@ def init_sn_state(params, rng: jax.Array,
 
 
 def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,
-                       filter_fn: Callable = None):
+                       filter_fn: Callable = None, compute_dtype=None):
     """Normalize every selected kernel by its leading singular value.
 
     Args:
@@ -63,6 +63,11 @@ def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,
         if False, reuse the stored ``u`` (eval mode, torch semantics).
       n_iter: power iterations per call (torch default 1).
       filter_fn: optional predicate on the flattened path tuple.
+      compute_dtype: if set (e.g. bf16), run the power-iteration matvecs on
+        the kernel cast to this dtype and emit normalized kernels in it —
+        halves the SN HBM traffic on bf16 training runs (the model casts
+        weights to compute dtype anyway; sigma stays accurate to ~1e-3,
+        far inside power-iteration tolerance).  None = exact f32.
 
     Returns:
       ``(normed_params, new_state)``.
@@ -76,17 +81,24 @@ def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,
         if u is None:
             new_p[path] = w
             continue
-        m = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+        if compute_dtype is not None:
+            wc = w.astype(compute_dtype)
+            m = wc.reshape(-1, w.shape[-1])
+            out_dtype = compute_dtype
+        else:
+            wc = w
+            m = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+            out_dtype = w.dtype
         if update:
             for _ in range(n_iter):
-                v = _l2_normalize(m @ u)
-                u = _l2_normalize(m.T @ v)
+                v = _l2_normalize((m @ u.astype(m.dtype)).astype(jnp.float32))
+                u = _l2_normalize((m.T @ v.astype(m.dtype)).astype(jnp.float32))
         else:
-            v = _l2_normalize(m @ u)
+            v = _l2_normalize((m @ u.astype(m.dtype)).astype(jnp.float32))
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
-        sigma = v @ (m @ u)
-        new_p[path] = (w / sigma.astype(w.dtype)).astype(w.dtype)
+        sigma = v.astype(jnp.float32) @ (m @ u.astype(m.dtype)).astype(jnp.float32)
+        new_p[path] = (wc / sigma.astype(out_dtype)).astype(out_dtype)
         new_u[path] = u
 
     return (traverse_util.unflatten_dict(new_p),

@@ -110,7 +110,13 @@ class VAETrainer:
     def _normalized_params(self, params, sn_u, update):
         if not self.use_sn:
             return params, sn_u
-        return spectral_normalize(params, sn_u, update=update)
+        # bf16 runs: normalize in bf16 (the model casts weights anyway) —
+        # halves SN's HBM traffic on the ~300M-param kernel set.
+        compute_dtype = (jnp.bfloat16
+                         if jnp.dtype(self.cfg.dtype) == jnp.bfloat16
+                         else None)
+        return spectral_normalize(params, sn_u, update=update,
+                                  compute_dtype=compute_dtype)
 
     def _rekey(self, key):
         if not self.fast_rng:

@@ -99,3 +99,21 @@ def test_bias_and_vectors_untouched():
     state = init_sn_state(params, jax.random.PRNGKey(0))
     normed, _ = spectral_normalize(params, state)
     np.testing.assert_allclose(np.asarray(normed["l"]["bias"]), 1.0)
+
+
+def test_bf16_compute_dtype_path():
+    """bf16 SN path: sigma accuracy within bf16 tolerance, output dtype bf16."""
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    params = {"l": {"kernel": jnp.asarray(w)}}
+    state = init_sn_state(params, jax.random.PRNGKey(0))
+    for _ in range(40):
+        _, state = spectral_normalize(params, state)
+
+    f32, _ = spectral_normalize(params, state, update=False)
+    bf16, _ = spectral_normalize(params, state, update=False,
+                                 compute_dtype=jnp.bfloat16)
+    assert bf16["l"]["kernel"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf16["l"]["kernel"], dtype=np.float32),
+        np.asarray(f32["l"]["kernel"]), atol=2e-2, rtol=2e-2)
