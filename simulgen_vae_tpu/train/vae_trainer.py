@@ -278,8 +278,15 @@ class VAETrainer:
                 out = out.astype(dtype, copy=False)
             return jax.device_put(out, sharding)
 
-        # Keep metrics on device until epoch end so float() syncs don't
-        # serialize the stream (async dispatch overlaps H2D with compute).
+        # Async dispatch overlaps H2D with compute, but with no backpressure
+        # every batch in the epoch gets enqueued (and held live in HBM) at
+        # once — at flagship scale that's tens of GB and a guaranteed OOM.
+        # Keep a small in-flight window by syncing on a step that is
+        # MAX_IN_FLIGHT behind (a scalar readback, so the pipe stays full).
+        # Window 1 still overlaps step i+1's H2D with step i's compute; the
+        # flagship working set (~10 GB of node-wide activations + grads)
+        # leaves little HBM headroom for queued batches.
+        MAX_IN_FLIGHT = 1
         per_step = []
         for i in range(num_batches):
             idx = perm[i]
@@ -290,6 +297,10 @@ class VAETrainer:
                 state, batch, partner, jax.random.fold_in(key, i)
             )
             per_step.append(metrics)
+            if i >= MAX_IN_FLIGHT:
+                per_step[i - MAX_IN_FLIGHT] = {
+                    k: float(v) for k, v in per_step[i - MAX_IN_FLIGHT].items()
+                }
         out = {k: float(np.mean([float(m[k]) for m in per_step]))
                for k in per_step[0]}
         return state.replace(epoch=state.epoch + 1), out
