@@ -7,7 +7,12 @@ progressive dropout schedule x[.5,.7,1.,1.2]) -> feature projection
 (LN + Dropout 0.8x) -> dual heads (Linear-LN-GELU-Dropout x2 -> Linear ->
 Tanh) for the main latent ``[B, latent_dim_end]`` and hierarchical latents
 ``[B, size2, latent_dim]``.  Bottleneck sizing: ``hidden = max(2*z_end,
-f_last // clamp(input/64, 2, 8))`` (parametric.py:149-150).  Xavier init.
+f_last // clamp(input/64, 2, 8))`` (parametric.py:149-150).
+
+Init: the model file self-initializes Xavier (parametric.py:184-196), but
+the reference trainer immediately re-applies He/Kaiming-uniform to every
+layer (``safe_initialize_weights_He``, latent_conditioner.py:225) — so the
+EFFECTIVE init is He-uniform, which is what we use directly.
 """
 
 from __future__ import annotations
@@ -20,7 +25,8 @@ import jax.numpy as jnp
 
 from simulgen_vae_tpu.models.blocks import gelu
 
-xavier_uniform = nn.initializers.xavier_uniform()
+# Effective reference init is He-uniform (see module docstring).
+xavier_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 
 
 class _MLPResidualBlock(nn.Module):
