@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from simulgen_vae_tpu.models.blocks import gelu
 
 # Effective reference init is He-uniform (see module docstring).
-xavier_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+he_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 
 
 class _MLPResidualBlock(nn.Module):
@@ -39,17 +39,17 @@ class _MLPResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         identity = x
-        h = nn.Dense(self.features, kernel_init=xavier_uniform,
+        h = nn.Dense(self.features, kernel_init=he_uniform,
                      dtype=self.dtype)(x)
         h = nn.LayerNorm(dtype=self.dtype)(h)
         h = gelu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        h = nn.Dense(self.features, kernel_init=xavier_uniform,
+        h = nn.Dense(self.features, kernel_init=he_uniform,
                      dtype=self.dtype)(h)
         h = nn.LayerNorm(dtype=self.dtype)(h)
 
         if x.shape[-1] != self.features:
-            identity = nn.Dense(self.features, kernel_init=xavier_uniform,
+            identity = nn.Dense(self.features, kernel_init=he_uniform,
                                 dtype=self.dtype)(x)
             identity = nn.LayerNorm(dtype=self.dtype)(identity)
 
@@ -66,17 +66,17 @@ class _Head(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.hidden, kernel_init=xavier_uniform,
+        h = nn.Dense(self.hidden, kernel_init=he_uniform,
                      dtype=self.dtype)(x)
         h = nn.LayerNorm(dtype=self.dtype)(h)
         h = gelu(h)
         h = nn.Dropout(self.dropout_rate * 0.6, deterministic=deterministic)(h)
-        h = nn.Dense(self.hidden // 2, kernel_init=xavier_uniform,
+        h = nn.Dense(self.hidden // 2, kernel_init=he_uniform,
                      dtype=self.dtype)(h)
         h = nn.LayerNorm(dtype=self.dtype)(h)
         h = gelu(h)
         h = nn.Dropout(self.dropout_rate * 0.4, deterministic=deterministic)(h)
-        h = nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+        h = nn.Dense(self.out_dim, kernel_init=he_uniform,
                      dtype=self.dtype)(h)
         return jnp.tanh(h)
 
@@ -103,7 +103,7 @@ class LatentConditioner(nn.Module):
                 min(i, len(dropout_schedule) - 1)
             ]
             if i == 0:
-                x = nn.Dense(next_dim, kernel_init=xavier_uniform,
+                x = nn.Dense(next_dim, kernel_init=he_uniform,
                              dtype=self.dtype)(x)
                 x = nn.LayerNorm(dtype=self.dtype)(x)
                 x = gelu(x)

@@ -86,12 +86,30 @@ class VAETrainer:
             remat=cfg.remat,
         )
         self.tx = make_optimizer(cfg.lr)
-        donate_args = (0,) if donate else ()
+        self._donate_args = (0,) if donate else ()
+        self._make_jitted_fns()
+
+    def _make_jitted_fns(self):
+        """(Re)wrap the jitted entry points.
+
+        Called at construction and whenever :meth:`set_mesh` changes the mesh:
+        ``_constrain_batch`` closes over ``self.mesh`` at trace time, so a
+        mesh change after a compile must invalidate the cached traces."""
         self._train_epoch = jax.jit(self._train_epoch_impl,
-                                    donate_argnums=donate_args)
+                                    donate_argnums=self._donate_args)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
         self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=donate_args)
+                                   donate_argnums=self._donate_args)
+
+    def set_mesh(self, mesh) -> None:
+        """Attach the device mesh used for GSPMD sharding constraints.
+
+        ``fit(mesh=...)`` calls this; it is public so streaming/step-level
+        callers can shard without going through ``fit``."""
+        if mesh is self.mesh:
+            return
+        self.mesh = mesh
+        self._make_jitted_fns()
 
     # -- state -------------------------------------------------------------
 
@@ -343,6 +361,9 @@ class VAETrainer:
         """
         cfg = self.cfg
         epochs = cfg.n_epochs if epochs is None else epochs
+        if mesh is not None:
+            self.set_mesh(mesh)
+        mesh = self.mesh
         k_split, k_init, key = jax.random.split(key, 3)
 
         n = data.shape[0]
@@ -366,15 +387,16 @@ class VAETrainer:
         if state is None:
             state = self.init_state(k_init)
 
-        if mesh is not None and not stream:
+        if mesh is not None:
             from simulgen_vae_tpu.parallel.sharding import (
                 shard_batch,
                 shard_state,
             )
 
             state = shard_state(state, mesh, cfg.num_node)
-            data_train = shard_batch(data_train, mesh)
             data_val = shard_batch(data_val, mesh)
+            if not stream:
+                data_train = shard_batch(data_train, mesh)
 
         history: Dict[str, list] = {}
         val_metrics = {"loss": 0.0, "recon": 0.0}

