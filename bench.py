@@ -6,15 +6,14 @@ the reference's documented workload geometry (484 params x 200 timesteps x
 95008 nodes, README.md:128-134; encoder filters 1024/512/256/128 from
 preset.txt) with bf16 compute.  Falls back to a scaled-down geometry on CPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus an
+"extra" dict with MFU, per-epoch spread, and the baseline inputs).
 
-``vs_baseline`` compares against an estimated PyTorch-A100 eager-mode
-baseline (the reference publishes no numbers — BASELINE.md).  Estimate:
-  * model cost/step  : analytic FLOPs (fwd) x 3 for fwd+bwd
-  * A100 sustained   : 60 TFLOP/s (eager fp32 torch with TF32 matmuls
-    typically sustains 20-40% of the 156 TFLOP/s TF32 peak on conv nets;
-    we take an optimistic 40% so the reported speedup is conservative)
-North-star target is >=5x this baseline (BASELINE.json).
+``vs_baseline`` divides by the grounded per-op roofline model of the
+reference's ACTUAL eager torch step on an A100 (``bench_baseline.py`` —
+op-by-op FLOPs/bytes with stated, generous-to-the-reference efficiency
+assumptions; the reference itself publishes no numbers, BASELINE.md).
+MFU is model fwd+bwd FLOPs (3x forward) over the v5e bf16 peak.
 """
 
 import json
@@ -53,11 +52,11 @@ def vae_fwd_flops(batch, t, node, filters, z=32, hier=8, expansion=5):
 
 
 def estimate_a100_baseline_sps(batch, t, node, filters):
-    """Estimated reference throughput (samples/sec) on one A100, eager torch."""
-    flops_per_step = vae_fwd_flops(batch, t, node, filters) * 3  # fwd+bwd
-    a100_sustained = 60e12
-    steps_per_sec = a100_sustained / flops_per_step
-    return steps_per_sec * batch
+    """Reference throughput (samples/sec) on one A100: grounded per-op
+    roofline of the eager torch step (see bench_baseline.py, BASELINE.md)."""
+    from bench_baseline import baseline_sps
+
+    return baseline_sps(batch, t, node, tuple(filters))
 
 
 def bench_lc(kind: str = "mlp"):
@@ -219,13 +218,13 @@ def main():
         filters = [1024, 512, 256, 128]
         resident_samples = 64   # HBM-resident subset of the 484-sample set
         dtype = "bfloat16"
-        epochs = 3
+        epochs = 6              # timed epochs (median-of-epochs reported)
     else:
         num_node, num_time, batch = 2048, 50, 16
         filters = [64, 32, 16, 8]
         resident_samples = 32
         dtype = "float32"
-        epochs = 2
+        epochs = 3
 
     cfg = VAEConfig(
         num_param=resident_samples, num_time=num_time, num_node=num_node,
@@ -252,30 +251,52 @@ def main():
     state, m = trainer._train_epoch(state, data, jax.random.PRNGKey(1))
     _ = float(m["loss"])
 
+    # Per-epoch timing (each epoch synced by a scalar readback) so the
+    # reported number carries a spread instead of a single point.  The
+    # readback adds one tunnel round trip per epoch; with steps_per_epoch
+    # batches amortized it stays <2% of epoch time at flagship scale.
     steps_per_epoch = resident_samples // batch
-    t0 = time.perf_counter()
+    per_epoch_sps = []
     for i in range(epochs):
+        t0 = time.perf_counter()
         state, metrics = trainer._train_epoch(state, data,
                                               jax.random.PRNGKey(2 + i))
-    _ = float(metrics["loss"])  # forces completion of the chained epochs
-    elapsed = time.perf_counter() - t0
+        _ = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        per_epoch_sps.append(steps_per_epoch * batch / dt)
 
-    n_steps = epochs * steps_per_epoch
-    samples_per_sec = n_steps * batch / elapsed
+    per_epoch_sps = np.asarray(per_epoch_sps)
     n_chips = jax.device_count()
-    sps_per_chip = samples_per_sec / n_chips
+    sps_per_chip = float(np.median(per_epoch_sps)) / n_chips
+    spread = float(per_epoch_sps.max() - per_epoch_sps.min()) / n_chips
 
     baseline = estimate_a100_baseline_sps(batch, num_time, num_node, filters)
     vs_baseline = sps_per_chip / baseline
 
+    # MFU: model fwd+bwd FLOPs (3x forward, excl. SN/optimizer) over peak
+    from bench_baseline import V5E_BF16_PEAK, model_flops_per_step
+
+    flops_step = model_flops_per_step(batch, num_time, num_node,
+                                      tuple(filters))
+    peak = V5E_BF16_PEAK if on_tpu else 1e12  # CPU MFU is not meaningful
+    mfu = (sps_per_chip / batch) * flops_step / peak
+
     result = {
-        "metric": "samples/sec/chip (VAE train step, "
-                  f"{resident_samples}x{num_time}x{num_node}, bf16)"
+        "metric": "samples/sec/chip (VAE train step, batch 16, "
+                  f"{num_time}x{num_node}, {resident_samples}-sample "
+                  "HBM-resident subset, bf16)"
                   if on_tpu else
                   "samples/sec/chip (VAE train step, CPU-scaled geometry)",
         "value": round(sps_per_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "extra": {
+            "epochs_timed": epochs,
+            "spread_sps": round(spread, 2),
+            "mfu_v5e_bf16": round(mfu, 4) if on_tpu else None,
+            "model_tflops_per_step": round(flops_step / 1e12, 3),
+            "baseline_sps_a100_eager": round(baseline, 2),
+        },
     }
     print(json.dumps(result))
 

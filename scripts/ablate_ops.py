@@ -105,22 +105,25 @@ def main():
     trainer = VAETrainer(cfg, donate=False)
     state = trainer.init_state(key)
 
-    from simulgen_vae_tpu.models.spectral_norm import spectral_normalize
+    from simulgen_vae_tpu.models.spectral_norm import (
+        compute_sigmas,
+        spectral_normalize,
+    )
 
-    timed("spectral_normalize (full params)",
-          lambda pp, uu: spectral_normalize(pp, uu)[0],
+    timed("spectral_normalize (full params, materializing)",
+          lambda pp, uu: spectral_normalize(pp, uu,
+                                            compute_dtype=jnp.bfloat16)[0],
+          state.params, state.sn_u, n=4)
+    timed("compute_sigmas (full params, output-scaling SN)",
+          lambda pp, uu: compute_sigmas(pp, uu,
+                                        compute_dtype=jnp.bfloat16)[0],
           state.params, state.sn_u, n=4)
 
     grads = jax.tree.map(jnp.ones_like, state.params)
 
-    def adamw_step(g, os_, pp):
-        updates, _ = trainer.tx.update(g, os_, pp)
-        import optax
-
-        return optax.apply_updates(pp, updates)
-
-    timed("adamw update (full params)", adamw_step, grads, state.opt_state,
-          state.params, n=4)
+    timed("fused adamw update (full params)",
+          lambda g, os_, pp: trainer.opt.apply(g, os_, pp, 1e-3)[0],
+          grads, state.opt_state, state.params, n=4)
 
 
 if __name__ == "__main__":

@@ -135,7 +135,7 @@ def main(argv=None) -> int:
     if args.lc_epochs is not None:
         lc_cfg.epochs = args.lc_epochs
 
-    if lc_only == 0 and not args.no_wipe:
+    if lc_only == 0 and not args.no_wipe and not args.resume:
         for folder in ("model_save", "checkpoints", "LatentConditionerRuns",
                        "output"):
             initialize_folder(folder)
@@ -247,6 +247,23 @@ def main(argv=None) -> int:
     return rc
 
 
+def _maybe_resume_lc(args, trainer, lc_ckpt, sample_x, key, total_epochs):
+    """Restore the latest LC checkpoint when --resume is set.
+
+    Returns (initial state or None, remaining epoch count).
+    """
+    if not getattr(args, "resume", False) or lc_ckpt.latest_step() is None:
+        return None, total_epochs
+    import jax
+
+    template = trainer.init_state(jax.random.PRNGKey(0), sample_x)
+    state = lc_ckpt.restore(template)
+    remaining = max(total_epochs - int(state.epoch), 0)
+    print(f"Resuming LatentConditioner from epoch {int(state.epoch)} "
+          f"({remaining} epochs remaining)")
+    return state, remaining
+
+
 def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
                                  latent_vectors, hierarchical, new_x_train,
                                  key) -> int:
@@ -345,6 +362,13 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
                            name="LatentConditioner")
     print("Starting LatentConditioner training...")
 
+    # Mid-run checkpointing + resume for the LC/E2E stage (the reference's
+    # only restart mechanism is the --lc_only stage split).
+    lc_ckpt = CheckpointManager(
+        "checkpoints/latent_conditioner",
+        save_interval_epochs=max(lc_cfg.epochs // 10, 1),
+    )
+
     if is_image and lc_cfg.use_e2e_training:
         print("Using end-to-end latent conditioner training")
         trainer = E2ETrainer(
@@ -355,8 +379,12 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
             use_latent_regularization=lc_cfg.use_latent_regularization,
             latent_reg_weight=lc_cfg.latent_reg_weight, sn_filter=lc_sn,
         )
+        lc_init, remaining = _maybe_resume_lc(args, trainer, lc_ckpt,
+                                              physical_input, key,
+                                              lc_cfg.epochs)
         lc_state, _ = trainer.fit(
             physical_input, out_latent, out_hier, new_x_train, key,
+            state=lc_init, epochs=remaining, ckpt_manager=lc_ckpt,
             log_fn=lambda e, m: logger.log(e, m, lc_cfg.epochs),
         )
     else:
@@ -366,15 +394,15 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
             batch_size=lc_cfg.batch_size, weight_decay=lc_cfg.weight_decay,
             is_image_data=is_image, loss_mode=loss_mode, sn_filter=lc_sn,
         )
+        lc_init, remaining = _maybe_resume_lc(args, trainer, lc_ckpt,
+                                              physical_input, key,
+                                              lc_cfg.epochs)
         lc_state, _ = trainer.fit(
             physical_input, out_latent, out_hier, key,
+            state=lc_init, epochs=remaining, ckpt_manager=lc_ckpt,
             log_fn=lambda e, m: logger.log(e, m, lc_cfg.epochs),
         )
     logger.close()
-
-    lc_ckpt = CheckpointManager("checkpoints/latent_conditioner")
-    lc_ckpt.save(lc_state, int(lc_state.epoch))
-    lc_ckpt.wait()
     lc_ckpt.close()
 
     from simulgen_vae_tpu.utils.checkpoint import save_flax_model

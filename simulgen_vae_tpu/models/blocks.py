@@ -74,6 +74,50 @@ class NormAct(nn.Module):
                                act=self.act)
 
 
+def _sn_inv_sigma(module: nn.Module):
+    """Per-layer inverse spectral norm, if the caller provided one.
+
+    ``models/spectral_norm.compute_sigmas`` builds an ``sn_sigma`` variable
+    collection mirroring the params tree (``.../kernel`` -> ``.../inv_sigma``)
+    so each linear layer can scale its OUTPUT by ``1/sigma`` instead of the
+    trainer materializing a full ``W/sigma`` copy (620 MB/step at flagship
+    scale).  Function-identical to torch spectral_norm: the layer is linear
+    in W, so ``conv(x, W/s) + b == conv(x, W)/s + b``.
+    """
+    if module.has_variable("sn_sigma", "inv_sigma"):
+        return module.get_variable("sn_sigma", "inv_sigma")
+    return None
+
+
+class _ConvCore(nn.Module):
+    """Explicit-param 1-D conv, path/init-compatible with ``flax nn.Conv``
+    (same ``kernel``/``bias`` names, shapes, and init streams) but SN-aware:
+    the kernel contribution is scaled by ``inv_sigma`` BEFORE the bias add."""
+
+    features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", he_uniform,
+            (self.kernel_size, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        inv = _sn_inv_sigma(self)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if inv is not None:
+            y = y * inv.astype(y.dtype)
+        return y + bias
+
+
 class Conv1d(nn.Module):
     """k-tap 1-D conv over the time axis of [B, T, C] data."""
 
@@ -83,10 +127,9 @@ class Conv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
-            self.features, (self.kernel_size,), padding="SAME",
-            kernel_init=he_uniform, dtype=self.dtype,
-        )(x)
+        # name="Conv_0" keeps the param paths of the original nn.Conv wrapper
+        return _ConvCore(self.features, self.kernel_size, self.dtype,
+                         name="Conv_0")(x)
 
 
 class ConvBlock(nn.Module):
@@ -197,13 +240,36 @@ class DecoderBlock(nn.Module):
         return gelu(x)
 
 
+class _DenseCore(nn.Module):
+    """Explicit-param dense layer, path/init-compatible with ``flax
+    nn.Dense`` and SN-aware (see :class:`_ConvCore`)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", he_uniform,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        inv = _sn_inv_sigma(self)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = jnp.dot(x, kernel)
+        if inv is not None:
+            y = y * inv.astype(y.dtype)
+        return y + bias
+
+
 class Dense(nn.Module):
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.features, kernel_init=he_uniform, dtype=self.dtype)(x)
+        # name="Dense_0" keeps the param paths of the original nn.Dense use
+        return _DenseCore(self.features, self.dtype, name="Dense_0")(x)
 
 
 class FusedPointwiseNormTanh(nn.Module):
@@ -246,18 +312,23 @@ class FusedPointwiseNormTanh(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         scale = self.param("scale", nn.initializers.ones, (c,))
         norm_bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+        inv = _sn_inv_sigma(self)
 
         if not self.analytic:
             from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu
 
             y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
                            preferred_element_type=jnp.float32)
+            if inv is not None:
+                y = y * inv
             y = (y + bias.astype(jnp.float32)).astype(h.dtype)
             return group_norm_gelu(y, scale, bias=norm_bias, num_groups=g,
                                    eps=self.eps, act="tanh").astype(self.dtype)
 
         h32 = h.astype(jnp.float32)
         k32 = kernel.astype(jnp.float32).reshape(f, g, cg)
+        if inv is not None:
+            k32 = k32 * inv  # SN folds linearly into the analytic stats
         b32 = bias.astype(jnp.float32).reshape(g, cg)
 
         w_sum = jnp.sum(k32, axis=2)                    # [F, G]
@@ -285,6 +356,8 @@ class FusedPointwiseNormTanh(nn.Module):
 
         y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
                        preferred_element_type=jnp.float32)
+        if inv is not None:
+            y = y * inv
         y = y + bias.astype(jnp.float32)
         out = jnp.tanh(y * eff_scale[:, None, :] + eff_shift[:, None, :])
         return out.astype(self.dtype)

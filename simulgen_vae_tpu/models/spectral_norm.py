@@ -52,6 +52,59 @@ def init_sn_state(params, rng: jax.Array,
     return traverse_util.unflatten_dict(state)
 
 
+def compute_sigmas(params, state, update: bool = True,
+                   compute_dtype=None) -> Tuple[dict, dict]:
+    """Power-iterate and return ``(sigma_collection, new_state)`` WITHOUT
+    materializing normalized kernels.
+
+    Every SN'd layer is linear in its kernel, so ``layer(x; W/sigma) ==
+    layer_nobias(x; W)/sigma + b``: instead of writing a full W/sigma copy
+    (620 MB/step at flagship scale) the model scales each layer's *output* by
+    ``1/sigma`` read from the ``sn_sigma`` variable collection this function
+    builds.  Value and gradient are identical to the materializing path:
+
+      sigma = v . (M u_new) = ||M^T v||   (u, v stop-gradient'd)
+      d sigma / dM = v u_new^T            (same as torch's v^T W u form)
+
+    so one full read of M is saved per kernel versus recomputing ``M u``.
+
+    The returned collection mirrors the params tree with each ``kernel`` leaf
+    replaced by an ``inv_sigma`` scalar at the same level — exactly where the
+    owning flax module looks it up (see ``models/blocks.py``).
+
+    Args mirror :func:`spectral_normalize`; ``update=False`` reuses the
+    stored ``u`` (eval semantics: sigma = ||M u||).
+    """
+    flat_p = traverse_util.flatten_dict(params)
+    flat_u = traverse_util.flatten_dict(state) if state else {}
+    sig, new_u = {}, {}
+
+    for path, w in flat_p.items():
+        u = flat_u.get(path)
+        if u is None:
+            continue
+        m = w.reshape(-1, w.shape[-1])
+        if compute_dtype is not None:
+            m = m.astype(compute_dtype)
+        else:
+            m = m.astype(jnp.float32)
+        if update:
+            v = _l2_normalize(
+                jax.lax.stop_gradient(m) @ u.astype(m.dtype)
+            ).astype(jnp.float32)
+            v = jax.lax.stop_gradient(v)
+            mtv = (m.T @ v.astype(m.dtype)).astype(jnp.float32)
+            sigma = jnp.linalg.norm(mtv)
+            new_u[path] = jax.lax.stop_gradient(mtv / (sigma + EPS))
+        else:
+            mu = (m @ u.astype(m.dtype)).astype(jnp.float32)
+            sigma = jnp.linalg.norm(mu)
+            new_u[path] = u
+        sig[path[:-1] + ("inv_sigma",)] = 1.0 / (sigma + EPS)
+
+    return traverse_util.unflatten_dict(sig), traverse_util.unflatten_dict(new_u)
+
+
 def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,
                        filter_fn: Callable = None, compute_dtype=None):
     """Normalize every selected kernel by its leading singular value.

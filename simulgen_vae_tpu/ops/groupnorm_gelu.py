@@ -307,13 +307,273 @@ def _bwd(num_groups, eps, act, residuals, grad):
 fused_group_norm_gelu.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Two-phase TILED kernels: feature maps whose [T, C] block exceeds VMEM
+# (the 95008-channel readout map, the 5120-wide decoder maps).  Phase 1
+# computes per-(sample, tile) partial group statistics; a tiny XLA finalize
+# combines them; phase 2 applies normalization + activation per tile.  Tiles
+# are 128-multiples that may CROSS group boundaries — each kernel derives
+# per-column group ids from the global column index, so ANY group width
+# works (11876-wide flagship groups included).  Lifts the round-1 1.5 MB
+# block cap (VERDICT r1 items 5/6).
+# ---------------------------------------------------------------------------
+
+_LANES = 128  # stats are packed per group into one 128-lane vector
+
+
+def _tile_cols(tile_idx, ct: int, c_total: int, cg: int):
+    """Global column index, validity mask, group id for one tile."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1) + tile_idx * ct
+    return col, col < c_total, col // cg
+
+
+def _per_group_scalars(vec, col_group, num_groups: int):
+    """Masked per-group sums of a [1, CT] row -> packed [1, 128] lane vector
+    (exact f32 on the VPU; MXU one-hot matmuls would round through bf16)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    out = jnp.zeros((1, _LANES), jnp.float32)
+    for gi in range(num_groups):
+        s = jnp.sum(jnp.where(col_group == gi, vec, 0.0))
+        out = out + jnp.where(lane == gi, s, 0.0)
+    return out
+
+
+def _expand_group_stats(packed, col_group, num_groups: int):
+    """[k, 128] packed per-group scalars -> list of [1, CT] per-column rows."""
+    rows = []
+    for k in range(packed.shape[0]):
+        r = jnp.zeros(col_group.shape, jnp.float32)
+        for gi in range(num_groups):
+            r = jnp.where(col_group == gi, packed[k, gi], r)
+        rows.append(r)
+    return rows
+
+
+def _stats_kernel(x_ref, out_ref, *, num_groups, c_total, ct):
+    import jax.experimental.pallas as pl
+
+    x = x_ref[0].astype(jnp.float32)                      # [T, CT]
+    _, valid, col_group = _tile_cols(pl.program_id(1), ct, c_total,
+                                     c_total // num_groups)
+    xm = jnp.where(valid, x, 0.0)
+    rowsum = jnp.sum(xm, axis=0, keepdims=True)
+    rowsq = jnp.sum(xm * xm, axis=0, keepdims=True)
+    out_ref[0, 0] = jnp.concatenate(
+        [_per_group_scalars(rowsum, col_group, num_groups),
+         _per_group_scalars(rowsq, col_group, num_groups)], axis=0)
+
+
+def _apply_kernel(x_ref, scale_ref, bias_ref, stats_ref, out_ref, *,
+                  num_groups, c_total, ct, act):
+    import jax.experimental.pallas as pl
+
+    x = x_ref[0].astype(jnp.float32)
+    _, _, col_group = _tile_cols(pl.program_id(1), ct, c_total,
+                                 c_total // num_groups)
+    mean_c, inv_c = _expand_group_stats(stats_ref[0], col_group, num_groups)
+    xn = (x - mean_c) * inv_c
+    out = (xn * scale_ref[:].astype(jnp.float32)
+           + bias_ref[:].astype(jnp.float32))
+    out_ref[0] = _activate(out, act, in_kernel=True).astype(out_ref.dtype)
+
+
+def _tiled_tile_width(t: int, c: int) -> int:
+    ct = max((VMEM_BLOCK_BYTES // (4 * t)) // _LANES * _LANES, _LANES)
+    return min(ct, -(-c // _LANES) * _LANES)
+
+
+def _tiled_stats(x, num_groups: int, eps: float):
+    """Phase 1 + finalize: per-(sample, group) mean and rsqrt(var+eps)."""
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    ct = _tiled_tile_width(t, c)
+    nt = -(-c // ct)
+    interpret = jax.default_backend() != "tpu"
+
+    partials = pl.pallas_call(
+        functools.partial(_stats_kernel, num_groups=num_groups, c_total=c,
+                          ct=ct),
+        out_shape=jax.ShapeDtypeStruct((b, nt, 2, _LANES), jnp.float32),
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j))],
+        out_specs=pl.BlockSpec((1, 1, 2, _LANES), lambda i, j: (i, j, 0, 0)),
+        interpret=interpret,
+    )(x)
+
+    sums = jnp.sum(partials, axis=1)                      # [B, 2, 128]
+    denom = float(t * (c // num_groups))
+    mean = sums[:, 0] / denom
+    var = sums[:, 1] / denom - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return jnp.stack([mean, inv], axis=1), ct, nt         # [B, 2, 128]
+
+
+def _tiled_forward(x, scale, bias, num_groups: int, eps: float, act: str):
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    stats, ct, nt = _tiled_stats(x, num_groups, eps)
+    interpret = jax.default_backend() != "tpu"
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, num_groups=num_groups, c_total=c,
+                          ct=ct, act=act),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+        interpret=interpret,
+    )(x, scale, bias, stats)
+    return out, stats
+
+
+def _bwd_stats_kernel(x_ref, scale_ref, bias_ref, g_ref, stats_ref,
+                      gsums_ref, dscale_ref, dbias_ref, *,
+                      num_groups, c_total, ct, act):
+    """Backward phase A: per-tile partials of sum(dxn), sum(dxn*xn) per
+    group, plus per-column dscale/dbias partials (summed over T)."""
+    import jax.experimental.pallas as pl
+
+    _, valid, col_group = _tile_cols(pl.program_id(1), ct, c_total,
+                                     c_total // num_groups)
+    # Mask padded tail columns at load: garbage reads beyond C would
+    # otherwise poison the reductions (0 * inf = nan).
+    x = jnp.where(valid, x_ref[0].astype(jnp.float32), 0.0)
+    g_up = jnp.where(valid, g_ref[0].astype(jnp.float32), 0.0)
+    mean_c, inv_c = _expand_group_stats(stats_ref[0], col_group, num_groups)
+
+    xn = (x - mean_c) * inv_c
+    scale32 = jnp.where(valid[0], scale_ref[:].astype(jnp.float32), 0.0)
+    y = xn * scale32 + bias_ref[:].astype(jnp.float32)
+    da = jnp.where(valid, g_up * _act_grad(y, act), 0.0)
+
+    dbias_ref[0, 0, 0] = jnp.sum(da, axis=0)
+    dscale_ref[0, 0, 0] = jnp.sum(da * xn, axis=0)
+
+    dxn = da * scale32
+    dxn_sum = jnp.sum(dxn, axis=0, keepdims=True)
+    dxnxn_sum = jnp.sum(dxn * xn, axis=0, keepdims=True)
+    gsums_ref[0, 0] = jnp.concatenate(
+        [_per_group_scalars(dxn_sum, col_group, num_groups),
+         _per_group_scalars(dxnxn_sum, col_group, num_groups)], axis=0)
+
+
+def _bwd_apply_kernel(x_ref, scale_ref, bias_ref, g_ref, stats_ref,
+                      msums_ref, dx_ref, *, num_groups, c_total, ct, act):
+    """Backward phase B: recompute xn/y/da per tile, then
+    dx = (dxn - m1 - xn*m2) * inv."""
+    import jax.experimental.pallas as pl
+
+    x = x_ref[0].astype(jnp.float32)
+    g_up = g_ref[0].astype(jnp.float32)
+    _, _, col_group = _tile_cols(pl.program_id(1), ct, c_total,
+                                 c_total // num_groups)
+    mean_c, inv_c = _expand_group_stats(stats_ref[0], col_group, num_groups)
+    m1_c, m2_c = _expand_group_stats(msums_ref[0], col_group, num_groups)
+
+    xn = (x - mean_c) * inv_c
+    scale32 = scale_ref[:].astype(jnp.float32)
+    y = xn * scale32 + bias_ref[:].astype(jnp.float32)
+    dxn = g_up * _act_grad(y, act) * scale32
+    dx_ref[0] = ((dxn - m1_c - xn * m2_c) * inv_c).astype(dx_ref.dtype)
+
+
+def _tiled_backward(x, scale, bias, stats, grad, num_groups: int, eps: float,
+                    act: str):
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    ct = _tiled_tile_width(t, c)
+    nt = -(-c // ct)
+    interpret = jax.default_backend() != "tpu"
+    kw = dict(num_groups=num_groups, c_total=c, ct=ct, act=act)
+
+    gsums, dscale_p, dbias_p = pl.pallas_call(
+        functools.partial(_bwd_stats_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nt, 2, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, 1, ct), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, 1, ct), jnp.float32),
+        ),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 2, _LANES), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ct), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ct), lambda i, j: (i, j, 0, 0)),
+        ),
+        interpret=interpret,
+    )(x, scale, bias, grad, stats)
+
+    denom = float(t * (c // num_groups))
+    msums = jnp.sum(gsums, axis=1) / denom               # [B, 2, 128]
+
+    dx = pl.pallas_call(
+        functools.partial(_bwd_apply_kernel, **kw),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
+        interpret=interpret,
+    )(x, scale, bias, grad, stats, msums)
+
+    # per-column partials: column c lives in exactly one tile
+    dscale_cols = dscale_p.reshape(b, nt * ct)[:, :c]
+    dbias_cols = dbias_p.reshape(b, nt * ct)[:, :c]
+    dscale = jnp.sum(dscale_cols, axis=0).astype(scale.dtype)
+    dbias = jnp.sum(dbias_cols, axis=0).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tiled_group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                          act: str = "gelu"):
+    out, _ = _tiled_forward(x, scale, bias, num_groups, eps, act)
+    return out
+
+
+def _tiled_fwd(x, scale, bias, num_groups, eps, act):
+    out, stats = _tiled_forward(x, scale, bias, num_groups, eps, act)
+    return out, (x, scale, bias, stats)
+
+
+def _tiled_bwd(num_groups, eps, act, residuals, grad):
+    x, scale, bias, stats = residuals
+    return _tiled_backward(x, scale, bias, stats, grad, num_groups, eps, act)
+
+
+tiled_group_norm_gelu.defvjp(_tiled_fwd, _tiled_bwd)
+
+
 def group_norm_gelu(x, scale, bias, num_groups: int, eps: float = 1e-5,
                     act: str = "gelu",
                     use_pallas: bool | None = None) -> jax.Array:
-    """Dispatch: Pallas fused kernel on TPU (when the per-sample block fits
-    VMEM), XLA reference elsewhere."""
+    """Dispatch: direct Pallas kernel when the [T, C] block fits VMEM, the
+    two-phase tiled kernel for larger maps (any group width, groups <= 128),
+    XLA reference elsewhere."""
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas and pallas_supported(x.shape[1], x.shape[2]):
         return fused_group_norm_gelu(x, scale, bias, num_groups, eps, act)
+    if use_pallas and num_groups <= _LANES:
+        return tiled_group_norm_gelu(x, scale, bias, num_groups, eps, act)
     return group_norm_gelu_reference(x, scale, bias, num_groups, eps, act)

@@ -242,7 +242,8 @@ class E2ETrainer:
     def fit(self, x, y1, y2, target, key,
             state: Optional[LCTrainState] = None, val_split: float = 0.3,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None, track_best: bool = True):
+            epochs: Optional[int] = None, track_best: bool = True,
+            ckpt_manager=None):
         epochs = self.epochs if epochs is None else epochs
         arrays = [np.nan_to_num(np.asarray(a, np.float32), nan=0.0)
                   for a in (x, y1, y2, target)]
@@ -281,6 +282,11 @@ class E2ETrainer:
                 history.setdefault(k, []).append(v)
             if log_fn is not None:
                 log_fn(epoch, metrics)
+            if ckpt_manager is not None:
+                ckpt_manager.maybe_save(state, int(state.epoch))
 
         final = best_state if track_best else state
+        if ckpt_manager is not None:
+            ckpt_manager.maybe_save(final, int(state.epoch), force=True)
+            ckpt_manager.wait()
         return final, {k: np.asarray(v) for k, v in history.items()}

@@ -219,11 +219,13 @@ class LCTrainer:
             val_split: float = 0.3, val_every: int = 10,
             overfit_threshold: float = 1000.0,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None):
+            epochs: Optional[int] = None, ckpt_manager=None):
         """Train with the reference 0.7/0.3 split (SimulGen-VAE.py:399-400).
 
         NaN inputs are scrubbed to zero like LatentConditionerDataset
-        (utils.py:124-134).
+        (utils.py:124-134).  ``ckpt_manager`` enables mid-run checkpointing
+        and resume (pass a restored ``state=``), which the reference lacks
+        for the LC stage (save-only, latent_conditioner.py:383-384).
         """
         epochs = self.epochs if epochs is None else epochs
         x = np.nan_to_num(np.asarray(x, np.float32), nan=0.0)
@@ -267,7 +269,12 @@ class LCTrainer:
                 history.setdefault(k, []).append(v)
             if log_fn is not None:
                 log_fn(epoch, metrics)
+            if ckpt_manager is not None:
+                ckpt_manager.maybe_save(state, int(state.epoch))
 
+        if ckpt_manager is not None:
+            ckpt_manager.maybe_save(state, int(state.epoch), force=True)
+            ckpt_manager.wait()
         return state, {k: np.asarray(v) for k, v in history.items()}
 
     # -- inference ---------------------------------------------------------

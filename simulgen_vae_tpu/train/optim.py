@@ -1,0 +1,93 @@
+"""Fused AdamW for the VAE train step.
+
+``optax.adamw`` materializes an intermediate ``updates`` tree and walks the
+parameters several times (moment update, bias correction, weight decay,
+apply) — measured ~19.5 ms/step on the flagship 310M-param set at an
+effective ~310 GB/s.  This drop-in replacement performs the whole update in
+ONE elementwise pass per leaf (read p, m, v, g; write p, m, v), which XLA
+fuses into a single HBM sweep, and folds the gradient-norm telemetry into
+the same pass so it costs no extra read.
+
+Math is exactly torch ``AdamW(lr, betas=(0.9, 0.999), eps=1e-8,
+weight_decay=0.01)`` == ``optax.adamw`` with ``eps_root=0`` (the reference
+optimizer, ``modules/train.py:92``):
+
+    m <- b1 m + (1-b1) g            v <- b2 v + (1-b2) g^2
+    p <- p - lr * ( m_hat / (sqrt(v_hat) + eps) + wd * p )
+
+Parity with optax.adamw is asserted in ``tests/test_optim.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FusedAdamWState(NamedTuple):
+    count: jax.Array   # int32 scalar
+    mu: Any            # first-moment pytree (f32, like params)
+    nu: Any            # second-moment pytree (f32)
+
+
+class FusedAdamW:
+    """Fused AdamW with a combined update+apply entry point.
+
+    ``apply(grads, state, params, lr)`` returns
+    ``(new_params, new_state, grad_norm)`` — learning rate is a traced
+    scalar (the cosine-warm-restarts schedule is a function of epoch).
+    """
+
+    def __init__(self, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, weight_decay: float = 0.01):
+        self.b1, self.b2, self.eps, self.wd = b1, b2, eps, weight_decay
+
+    def init(self, params) -> FusedAdamWState:
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            mu=zeros,
+            nu=jax.tree.map(jnp.copy, zeros),
+        )
+
+    def apply(self, grads, state: FusedAdamWState, params, lr
+              ) -> Tuple[Any, FusedAdamWState, jax.Array]:
+        b1, b2, eps, wd = self.b1, self.b2, self.eps, self.wd
+        count = state.count + 1
+        # bias corrections as traced scalars (shared across leaves)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        lr = jnp.asarray(lr, jnp.float32)
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        flat_g = treedef.flatten_up_to(grads)
+
+        new_p, new_m, new_v, sumsqs = [], [], [], []
+        for p, m, v, g in zip(flat_p, flat_m, flat_v, flat_g):
+            gf = g.astype(jnp.float32)
+            m2 = b1 * m + (1.0 - b1) * gf
+            v2 = b2 * v + (1.0 - b2) * gf * gf
+            mhat = m2 / c1
+            vhat = v2 / c2
+            pf = p.astype(jnp.float32)
+            upd = mhat / (jnp.sqrt(vhat) + eps) + wd * pf
+            p2 = (pf - lr * upd).astype(p.dtype)
+            new_p.append(p2)
+            new_m.append(m2)
+            new_v.append(v2)
+            sumsqs.append(jnp.sum(gf * gf))
+
+        grad_norm = jnp.sqrt(sum(sumsqs))
+        return (
+            treedef.unflatten(new_p),
+            FusedAdamWState(count=count,
+                            mu=treedef.unflatten(new_m),
+                            nu=treedef.unflatten(new_v)),
+            grad_norm,
+        )

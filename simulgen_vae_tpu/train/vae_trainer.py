@@ -35,8 +35,13 @@ from flax import struct
 from simulgen_vae_tpu.config import VAEConfig
 from simulgen_vae_tpu.data.augmentation import AugmentationConfig, augment_batch
 from simulgen_vae_tpu.losses import beta_schedule
-from simulgen_vae_tpu.models.spectral_norm import init_sn_state, spectral_normalize
+from simulgen_vae_tpu.models.spectral_norm import (
+    compute_sigmas,
+    init_sn_state,
+    spectral_normalize,
+)
 from simulgen_vae_tpu.models.vae import VAE
+from simulgen_vae_tpu.train.optim import FusedAdamW
 from simulgen_vae_tpu.train.schedules import cosine_warm_restarts
 
 
@@ -85,7 +90,9 @@ class VAETrainer:
             dtype=jnp.dtype(cfg.dtype),
             remat=cfg.remat,
         )
-        self.tx = make_optimizer(cfg.lr)
+        # Fused AdamW (same math as torch AdamW / optax.adamw, train.py:92):
+        # one HBM sweep per step instead of optax's materialized updates tree.
+        self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
         self._donate_args = (0,) if donate else ()
         self._make_jitted_fns()
 
@@ -119,7 +126,7 @@ class VAETrainer:
         variables = self.model.init({"params": key, "sample": key}, x)
         params = variables["params"]
         sn_u = (init_sn_state(params, key) if self.use_sn else {})
-        opt_state = self.tx.init(params)
+        opt_state = self.opt.init(params)
         return VAETrainState(params=params, opt_state=opt_state, sn_u=sn_u,
                              epoch=jnp.zeros((), jnp.int32))
 
@@ -160,10 +167,25 @@ class VAETrainer:
             batch, NamedSharding(self.mesh, spec)
         )
 
+    def _sn_compute_dtype(self):
+        return (jnp.bfloat16
+                if jnp.dtype(self.cfg.dtype) == jnp.bfloat16 else None)
+
     def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
-        normed, new_u = self._normalized_params(params, sn_u, update_sn)
+        # Spectral norm WITHOUT materializing W/sigma: compute per-kernel
+        # 1/sigma (power iteration) and let each layer scale its output —
+        # saves two full passes over the ~310M-param kernel set per step
+        # (see models/spectral_norm.compute_sigmas).
+        variables = {"params": params}
+        new_u = sn_u
+        if self.use_sn:
+            sigmas, new_u = compute_sigmas(
+                params, sn_u, update=update_sn,
+                compute_dtype=self._sn_compute_dtype(),
+            )
+            variables["sn_sigma"] = sigmas
         _, recon, kls, recon_mse = self.model.apply(
-            {"params": normed}, batch, rngs={"sample": key}
+            variables, batch, rngs={"sample": key}
         )
         kl_sum = sum(kls)
         loss = self.cfg.alpha * recon + beta * kl_sum
@@ -209,11 +231,10 @@ class VAETrainer:
             (_, (new_u, metrics)), grads = grad_fn(
                 params, sn_u, batch, k_model, beta
             )
-            metrics["grad_norm"] = optax.global_norm(grads)
-
-            opt_state.hyperparams["learning_rate"] = lr
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state, grad_norm = self.opt.apply(
+                grads, opt_state, params, lr
+            )
+            metrics["grad_norm"] = grad_norm
             return (params, opt_state, new_u), metrics
 
         (params, opt_state, sn_u), metrics = jax.lax.scan(
@@ -246,14 +267,12 @@ class VAETrainer:
         (_, (new_u, metrics)), grads = grad_fn(
             state.params, state.sn_u, batch, k_model, beta
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
+        params, opt_state, grad_norm = self.opt.apply(
+            grads, state.opt_state, state.params, lr
+        )
+        metrics["grad_norm"] = grad_norm
         metrics["beta"] = beta
         metrics["lr"] = lr
-
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = self.tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
         return state.replace(params=params, opt_state=opt_state,
                              sn_u=new_u), metrics
 

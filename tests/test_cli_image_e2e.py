@@ -99,6 +99,7 @@ def _patch_image_size(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_cli_image_e2e_pipeline(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     _patch_image_size(monkeypatch)

@@ -83,6 +83,7 @@ def workdir(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline_csv(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     from simulgen_vae_tpu.cli import main
@@ -109,6 +110,7 @@ def test_cli_full_pipeline_csv(workdir, monkeypatch):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_generate_cli_from_artifacts(workdir, monkeypatch):
     """Train the pipeline, then run the standalone generation CLI on fresh
     CSV inputs (the first-class inference path the reference lacks)."""

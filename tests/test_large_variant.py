@@ -4,6 +4,7 @@ The CLI's --size=large path (SimulGen-VAE.py:188-195) uses the two-conv
 blocks (encoder.py:38-46, common.py:115-122,146-159); most tests use small.
 """
 
+import pytest
 import numpy as np
 import torch
 
@@ -74,6 +75,7 @@ def test_large_decoder_residual_parity():
     np.testing.assert_allclose(np.asarray(out_f), out_t, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_large_vae_trains():
     from simulgen_vae_tpu.config import VAEConfig
     from simulgen_vae_tpu.data.dataset import synthetic_dataset

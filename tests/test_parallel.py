@@ -82,6 +82,7 @@ def scaled():
     return data_scaler(data, 12, 32, save_path=None)[0]
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(scaled):
     """Data-parallel training over 8 devices produces the same params as
     single-device (GSPMD is math-preserving)."""
@@ -98,6 +99,7 @@ def test_dp_matches_single_device(scaled):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_axis_sharding_matches(scaled):
     """data x model (4x2) mesh training matches single-device numerically."""
     cfg = small_cfg()

@@ -1,5 +1,6 @@
 """Gradient checkpointing: identical forward/grad values, training runs."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -18,6 +19,7 @@ def _cfg(remat):
                      remat=remat)
 
 
+@pytest.mark.slow
 def test_remat_preserves_values():
     data = synthetic_dataset(8, 10, 24, seed=0)
     scaled, _, _ = data_scaler(data, 10, 24, save_path=None)

@@ -1,5 +1,6 @@
 """Checkpoint/resume integration: training continues from saved state."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -11,6 +12,7 @@ from simulgen_vae_tpu.train.vae_trainer import VAETrainer
 from simulgen_vae_tpu.utils.checkpoint import CheckpointManager
 
 
+@pytest.mark.slow
 def test_fit_checkpoints_and_resumes(tmp_path):
     data = synthetic_dataset(12, 10, 32, seed=0)
     scaled, _, _ = data_scaler(data, 10, 32, save_path=None)

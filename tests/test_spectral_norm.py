@@ -117,3 +117,56 @@ def test_bf16_compute_dtype_path():
     np.testing.assert_allclose(
         np.asarray(bf16["l"]["kernel"], dtype=np.float32),
         np.asarray(f32["l"]["kernel"]), atol=2e-2, rtol=2e-2)
+
+
+def test_compute_sigmas_matches_materializing_sigma():
+    """compute_sigmas' sigma (=||M^T v||) equals spectral_normalize's
+    (=v.M u_new) — same power-iteration state, same value."""
+    from simulgen_vae_tpu.models.spectral_norm import compute_sigmas
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((24, 10)).astype(np.float32)
+    params = {"l": {"kernel": jnp.asarray(w)}}
+    state = init_sn_state(params, jax.random.PRNGKey(3))
+
+    normed, u_a = spectral_normalize(params, state)
+    sig, u_b = compute_sigmas(params, state)
+
+    sigma_mat = float(w[0, 0] / np.asarray(normed["l"]["kernel"])[0, 0])
+    sigma_new = 1.0 / float(sig["l"]["inv_sigma"])
+    np.testing.assert_allclose(sigma_new, sigma_mat, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_a["l"]["kernel"]),
+                               np.asarray(u_b["l"]["kernel"]), rtol=1e-5)
+
+
+def test_output_scaling_sn_matches_materializing_in_model():
+    """Full VAE forward + gradients: params materialized as W/sigma vs the
+    sn_sigma output-scaling collection give the same outputs and grads."""
+    from simulgen_vae_tpu.models.spectral_norm import compute_sigmas
+    from simulgen_vae_tpu.models.vae import VAE
+
+    model = VAE(latent_dim=4, hierarchical_dim=2, num_filter_enc=[8, 8],
+                num_filter_dec=[8, 8], num_node=16, num_time=10, small=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 16)) * 0.3
+    params = model.init({"params": key, "sample": key}, x)["params"]
+    sn_u = init_sn_state(params, jax.random.PRNGKey(2))
+
+    def loss_mat(p):
+        normed, _ = spectral_normalize(p, sn_u)
+        _, recon, kls, _ = model.apply({"params": normed}, x,
+                                       rngs={"sample": jax.random.PRNGKey(5)})
+        return 100.0 * recon + sum(kls)
+
+    def loss_scale(p):
+        sig, _ = compute_sigmas(p, sn_u)
+        _, recon, kls, _ = model.apply({"params": p, "sn_sigma": sig}, x,
+                                       rngs={"sample": jax.random.PRNGKey(5)})
+        return 100.0 * recon + sum(kls)
+
+    la, ga = jax.value_and_grad(loss_mat)(params)
+    lb, gb = jax.value_and_grad(loss_scale)(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

@@ -1,5 +1,6 @@
 """Host-streaming training path (datasets larger than device memory)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -51,6 +52,7 @@ def test_streaming_step_equals_scan_step_math():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_streaming_bf16_native_gather():
     """bf16 streaming exercises the native fused f32->bf16 gather path."""
     data = synthetic_dataset(8, 10, 16, seed=2)

@@ -43,6 +43,7 @@ def test_vae_loss_decreases(scaled_data):
     assert (hist["grad_norm"] > 0).all()
 
 
+@pytest.mark.slow
 def test_beta_and_lr_follow_schedules(scaled_data):
     cfg = small_cfg(n_epochs=20)
     trainer = VAETrainer(cfg)
@@ -58,6 +59,7 @@ def test_beta_and_lr_follow_schedules(scaled_data):
     assert hist["lr"][4] < cfg.lr * 0.1
 
 
+@pytest.mark.slow
 def test_spectral_norm_threads_through_training(scaled_data):
     cfg = small_cfg(n_epochs=4)
     trainer = VAETrainer(cfg)
@@ -82,6 +84,7 @@ def test_spectral_norm_threads_through_training(scaled_data):
     assert all(diffs)
 
 
+@pytest.mark.slow
 def test_training_without_spectral_norm(scaled_data):
     cfg = small_cfg(n_epochs=4, use_spectral_norm=False)
     trainer = VAETrainer(cfg)
@@ -89,6 +92,7 @@ def test_training_without_spectral_norm(scaled_data):
     assert np.isfinite(hist["loss"]).all()
 
 
+@pytest.mark.slow
 def test_bf16_training_runs(scaled_data):
     cfg = small_cfg(n_epochs=4, dtype="bfloat16")
     trainer = VAETrainer(cfg)
