@@ -65,10 +65,30 @@ def run_reference(scaled, epochs, batch, lr, alpha, filters, workdir):
     (final recon MSE, final KL, histories, wall seconds)."""
     import torch
 
-    # train.py imports torchinfo at module level; not installed here.
+    # Stub modules the reference imports at module level but this comparison
+    # never exercises (torchinfo model summaries; skimage.util.random_noise
+    # used only by the reference's unused image-noise path).
     sys.modules.setdefault(
         "torchinfo", types.SimpleNamespace(summary=lambda *a, **k: None)
     )
+    if "skimage" not in sys.modules:
+        skimage = types.ModuleType("skimage")
+        util = types.ModuleType("skimage.util")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("skimage stubbed out in head_to_head")
+
+        util.random_noise = _unavailable
+        skimage.util = util
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.util"] = util
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        transforms = types.ModuleType("torchvision.transforms")
+        transforms.v2 = types.SimpleNamespace()
+        tv.transforms = transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = transforms
     sys.path.insert(0, REFERENCE)
     from modules.augmentation import create_augmented_dataloaders
     from modules.train import train

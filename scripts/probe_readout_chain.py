@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Hardware probe + timing for the fused readout-chain op at flagship scale.
+
+Compares the Pallas train path (matmul+GN+tanh+loss, ops/readout_chain.py)
+against the XLA composition: forward value/grad parity, then fwd and
+fwd+bwd timings."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from simulgen_vae_tpu.ops.readout_chain import (  # noqa: E402
+    readout_chain_loss,
+    readout_chain_loss_reference,
+)
+
+
+def probe(b, t, f, c, g, dtype="bfloat16", lossfun="MSE"):
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32) * 0.3,
+                    dtype)
+    kernel = jnp.asarray(
+        rng.standard_normal((f, c)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    scale = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    nb = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32) * 0.5,
+                    dtype)
+    inv = jnp.asarray(0.9, jnp.float32)
+
+    def run(fn):
+        def loss(k_, h_):
+            l, m = fn(h_, k_, bias, scale, nb, x, inv, g, 1e-5, lossfun)
+            return l + 0.1 * m
+        return loss
+
+    fused = run(readout_chain_loss)
+    ref = run(readout_chain_loss_reference)
+
+    f_fwd = jax.jit(fused)
+    r_fwd = jax.jit(ref)
+    f_g = jax.jit(jax.value_and_grad(fused, argnums=(0, 1)))
+    r_g = jax.jit(jax.value_and_grad(ref, argnums=(0, 1)))
+
+    la, lb = float(f_fwd(kernel, h)), float(r_fwd(kernel, h))
+    rel = abs(la - lb) / (abs(lb) + 1e-12)
+    print(f"[{b}x{t}x{f}->{c} g={g} {lossfun}] fwd rel err {rel:.2e} "
+          f"({la:.6f} vs {lb:.6f})")
+    assert rel < 2e-2
+
+    (va, (gka, gha)) = f_g(kernel, h)
+    (vb, (gkb, ghb)) = r_g(kernel, h)
+    for name, a_, b_ in (("dW", gka, gkb), ("dh", gha, ghb)):
+        aa = np.asarray(a_, np.float32)
+        bb = np.asarray(b_, np.float32)
+        relg = np.max(np.abs(aa - bb)) / (np.max(np.abs(bb)) + 1e-12)
+        print(f"  {name} rel err {relg:.2e}")
+        assert relg < 5e-2, name
+
+    for name, fn, args in (("xla fwd", r_fwd, (kernel, h)),
+                           ("fused fwd", f_fwd, (kernel, h)),
+                           ("xla fwd+bwd", r_g, (kernel, h)),
+                           ("fused fwd+bwd", f_g, (kernel, h))):
+        out = fn(*args)
+        _ = float(jax.tree.leaves(out)[0].sum()
+                  if hasattr(jax.tree.leaves(out)[0], "sum")
+                  else jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        n = 6
+        for _ in range(n):
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[-1]
+        _ = float(jnp.sum(leaf.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / n * 1e3
+        print(f"  {name:14s} {dt:8.3f} ms")
+
+
+if __name__ == "__main__":
+    print(f"backend: {jax.default_backend()} {jax.devices()}")
+    probe(16, 200, 1024, 95008, 8)          # flagship readout chain
+    probe(4, 200, 128, 5120, 8, lossfun="Huber")
+    print("readout chain probe: ALL OK")

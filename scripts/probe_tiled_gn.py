@@ -5,6 +5,8 @@ on the real TPU at the geometries that matter: the 5120-wide decoder maps
 and the 95008-channel flagship readout (11876-wide groups, non-128-divisible
 C)."""
 
+import os
+import sys
 import time
 
 import numpy as np
@@ -12,7 +14,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from simulgen_vae_tpu.ops import groupnorm_gelu as gg
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simulgen_vae_tpu.ops import groupnorm_gelu as gg  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def sync(x):

@@ -429,6 +429,18 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
         predict, physical_input, out_latent, out_hier, new_x_train,
         lv_scaler, xs_scaler, save_dir="checkpoints",
     )
+
+    # Mirror the comparison plots into TensorBoard (reference leaves them
+    # as disk PNGs only).
+    import glob
+
+    img_logger = MetricsLogger(log_dir="./LatentConditionerRuns",
+                               name="LatentConditioner", console=False)
+    for i, png in enumerate(sorted(glob.glob("checkpoints/*.png"))[:10]):
+        img_logger.log_image_file(
+            f"reconstruction/{os.path.basename(png)[:-4]}", png, step=i
+        )
+    img_logger.close()
     print("Done.")
     return 0
 

@@ -301,7 +301,12 @@ class FusedPointwiseNormTanh(nn.Module):
     analytic: bool = False
 
     @nn.compact
-    def __call__(self, h):  # h: [B, T, F]
+    def __call__(self, h, x_target=None, lossfun: str = "MSE"):
+        # h: [B, T, F].  With ``x_target`` given, dispatch to the fully
+        # fused Pallas train path (matmul + GN + tanh + loss epilogue, ONE
+        # write + ONE read of the [B,T,nodes] map, x_hat never
+        # materialized — ops/readout_chain.py) and return
+        # ``(recon_loss, recon_mse)`` means instead of x_hat.
         f = h.shape[-1]
         c = self.num_node
         t = h.shape[1]
@@ -313,6 +318,16 @@ class FusedPointwiseNormTanh(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         norm_bias = self.param("norm_bias", nn.initializers.zeros, (c,))
         inv = _sn_inv_sigma(self)
+
+        if x_target is not None:
+            from simulgen_vae_tpu.ops.readout_chain import readout_chain_loss
+
+            inv_val = (inv if inv is not None
+                       else jnp.ones((), jnp.float32))
+            return readout_chain_loss(
+                h, kernel, bias, scale, norm_bias, x_target, inv_val,
+                g, self.eps, lossfun,
+            )
 
         if not self.analytic:
             from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu

@@ -104,7 +104,9 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, xs: Optional[Sequence[jax.Array]] = None,
                  mode: str = "random",
-                 frozen_zs: Optional[Sequence[jax.Array]] = None):
+                 frozen_zs: Optional[Sequence[jax.Array]] = None,
+                 x_target: Optional[jax.Array] = None,
+                 lossfun: str = "MSE"):
         res_cls = (nn.remat(DecoderResidualBlock) if self.remat
                    else DecoderResidualBlock)
         filters = self.num_filter_dec
@@ -160,8 +162,11 @@ class Decoder(nn.Module):
                 z = reparameterize(self.make_rng("sample"), mu, std)
             zs.append(z)
 
-        # Readout Conv(k=1) + GroupNorm + Tanh (decoder.py:117-121), fused
-        # into a single full-map pass via analytic group statistics.
-        x_hat = FusedPointwiseNormTanh(self.num_node, self.dtype,
-                                       name="recon")(decoder_out)
-        return x_hat, kl_losses, zs
+        # Readout Conv(k=1) + GroupNorm + Tanh (decoder.py:117-121).  With
+        # x_target, the fused Pallas train path returns (loss, mse) means
+        # directly (x_hat never materialized).
+        out = FusedPointwiseNormTanh(self.num_node, self.dtype,
+                                     name="recon")(decoder_out,
+                                                   x_target=x_target,
+                                                   lossfun=lossfun)
+        return out, kl_losses, zs

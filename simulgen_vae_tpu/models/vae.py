@@ -45,19 +45,27 @@ class VAE(nn.Module):
             self.num_node, self.num_time, self.small, self.dtype, self.remat,
         )
 
-    def __call__(self, x):
+    def __call__(self, x, fused_readout_loss: bool = False):
+        """Forward + losses.  ``fused_readout_loss=True`` (train path, TPU)
+        computes the reconstruction losses inside the fused Pallas readout
+        kernel — x_hat is never materialized and is returned as None."""
         mu, log_var, xs = self.encoder(x)
 
         log_var = jnp.clip(log_var, -30.0, 30.0)
         std = jnp.exp(0.5 * log_var)
         z = reparameterize(self.make_rng("sample"), mu, std)
 
-        x_hat, kl_losses, _ = self.decoder(z, xs)
-
-        x32 = x.astype(jnp.float32)
-        xh32 = x_hat.astype(jnp.float32)
-        recon_loss = get_recon_loss(self.lossfun)(xh32, x32)
-        recon_loss_mse = mse_loss(xh32, x32)
+        if fused_readout_loss:
+            (recon_loss, recon_loss_mse), kl_losses, _ = self.decoder(
+                z, xs, x_target=x, lossfun=self.lossfun
+            )
+            x_hat = None
+        else:
+            x_hat, kl_losses, _ = self.decoder(z, xs)
+            x32 = x.astype(jnp.float32)
+            xh32 = x_hat.astype(jnp.float32)
+            recon_loss = get_recon_loss(self.lossfun)(xh32, x32)
+            recon_loss_mse = mse_loss(xh32, x32)
         kl_loss = kl(mu.astype(jnp.float32), log_var.astype(jnp.float32))
 
         return x_hat, recon_loss, [kl_loss] + list(kl_losses), recon_loss_mse

@@ -372,8 +372,8 @@ def _apply_kernel(x_ref, scale_ref, bias_ref, stats_ref, out_ref, *,
                                  c_total // num_groups)
     mean_c, inv_c = _expand_group_stats(stats_ref[0], col_group, num_groups)
     xn = (x - mean_c) * inv_c
-    out = (xn * scale_ref[:].astype(jnp.float32)
-           + bias_ref[:].astype(jnp.float32))
+    out = (xn * scale_ref[0].astype(jnp.float32)
+           + bias_ref[0].astype(jnp.float32))
     out_ref[0] = _activate(out, act, in_kernel=True).astype(out_ref.dtype)
 
 
@@ -423,13 +423,13 @@ def _tiled_forward(x, scale, bias, num_groups: int, eps: float, act: str):
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
             pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
         interpret=interpret,
-    )(x, scale, bias, stats)
+    )(x, scale.reshape(1, -1), bias.reshape(1, -1), stats)
     return out, stats
 
 
@@ -449,8 +449,8 @@ def _bwd_stats_kernel(x_ref, scale_ref, bias_ref, g_ref, stats_ref,
     mean_c, inv_c = _expand_group_stats(stats_ref[0], col_group, num_groups)
 
     xn = (x - mean_c) * inv_c
-    scale32 = jnp.where(valid[0], scale_ref[:].astype(jnp.float32), 0.0)
-    y = xn * scale32 + bias_ref[:].astype(jnp.float32)
+    scale32 = jnp.where(valid[0], scale_ref[0].astype(jnp.float32), 0.0)
+    y = xn * scale32 + bias_ref[0].astype(jnp.float32)
     da = jnp.where(valid, g_up * _act_grad(y, act), 0.0)
 
     dbias_ref[0, 0, 0] = jnp.sum(da, axis=0)
@@ -478,8 +478,8 @@ def _bwd_apply_kernel(x_ref, scale_ref, bias_ref, g_ref, stats_ref,
     m1_c, m2_c = _expand_group_stats(msums_ref[0], col_group, num_groups)
 
     xn = (x - mean_c) * inv_c
-    scale32 = scale_ref[:].astype(jnp.float32)
-    y = xn * scale32 + bias_ref[:].astype(jnp.float32)
+    scale32 = scale_ref[0].astype(jnp.float32)
+    y = xn * scale32 + bias_ref[0].astype(jnp.float32)
     dxn = g_up * _act_grad(y, act) * scale32
     dx_ref[0] = ((dxn - m1_c - xn * m2_c) * inv_c).astype(dx_ref.dtype)
 
@@ -504,8 +504,8 @@ def _tiled_backward(x, scale, bias, stats, grad, num_groups: int, eps: float,
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
             pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
         ],
@@ -515,7 +515,7 @@ def _tiled_backward(x, scale, bias, stats, grad, num_groups: int, eps: float,
             pl.BlockSpec((1, 1, 1, ct), lambda i, j: (i, j, 0, 0)),
         ),
         interpret=interpret,
-    )(x, scale, bias, grad, stats)
+    )(x, scale.reshape(1, -1), bias.reshape(1, -1), grad, stats)
 
     denom = float(t * (c // num_groups))
     msums = jnp.sum(gsums, axis=1) / denom               # [B, 2, 128]
@@ -526,15 +526,15 @@ def _tiled_backward(x, scale, bias, stats, grad, num_groups: int, eps: float,
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
-            pl.BlockSpec((ct,), lambda i, j: (j,)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
             pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 2, _LANES), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, ct), lambda i, j: (i, 0, j)),
         interpret=interpret,
-    )(x, scale, bias, grad, stats, msums)
+    )(x, scale.reshape(1, -1), bias.reshape(1, -1), grad, stats, msums)
 
     # per-column partials: column c lives in exactly one tile
     dscale_cols = dscale_p.reshape(b, nt * ct)[:, :c]

@@ -66,9 +66,16 @@ class VAETrainer:
     def __init__(self, cfg: VAEConfig,
                  aug: AugmentationConfig = AugmentationConfig(),
                  use_spectral_norm: Optional[bool] = None,
-                 donate: bool = True, fast_rng: bool = False):
+                 donate: bool = True, fast_rng: bool = False,
+                 fused_readout: Optional[bool] = None):
         self.cfg = cfg
         self.aug = aug
+        # Fused Pallas readout+loss train path (ops/readout_chain.py).
+        # Default: on for single-chip TPU runs (kill switch
+        # SIMULGEN_FUSED_READOUT=0); off elsewhere — the pallas_call has no
+        # GSPMD partitioning rule, so model/data-sharded meshes keep the
+        # XLA path until a shard_map wrapper exists.
+        self._fused_readout_opt = fused_readout
         # fast_rng: rekey each epoch onto the RBG generator — much cheaper
         # bulk random bits on TPU than threefry (augmentation draws ~300M
         # values/step at flagship scale), at the cost of partition-dependent
@@ -171,6 +178,15 @@ class VAETrainer:
         return (jnp.bfloat16
                 if jnp.dtype(self.cfg.dtype) == jnp.bfloat16 else None)
 
+    def _use_fused_readout(self) -> bool:
+        import os
+
+        if self._fused_readout_opt is not None:
+            return self._fused_readout_opt and self.mesh is None
+        if os.environ.get("SIMULGEN_FUSED_READOUT", "1") in ("0", "false"):
+            return False
+        return jax.default_backend() == "tpu" and self.mesh is None
+
     def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
         # Spectral norm WITHOUT materializing W/sigma: compute per-kernel
         # 1/sigma (power iteration) and let each layer scale its output —
@@ -185,7 +201,8 @@ class VAETrainer:
             )
             variables["sn_sigma"] = sigmas
         _, recon, kls, recon_mse = self.model.apply(
-            variables, batch, rngs={"sample": key}
+            variables, batch, fused_readout_loss=self._use_fused_readout(),
+            rngs={"sample": key},
         )
         kl_sum = sum(kls)
         loss = self.cfg.alpha * recon + beta * kl_sum

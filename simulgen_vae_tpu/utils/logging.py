@@ -71,6 +71,32 @@ class MetricsLogger:
                 epoch_log_line(epoch, total_epochs or epoch + 1, metrics)
             )
 
+    def log_image(self, tag: str, image, step: int = 0) -> None:
+        """Write an HWC image (uint8 or [0,1] float array) to TensorBoard.
+
+        Used for reconstruction-comparison plots (the reference saves these
+        only as PNGs on disk, latent_conditioner.py:383-384)."""
+        if self.writer is None:
+            return
+        try:
+            self.writer.add_image(f"{self.name}/{tag}", image, step,
+                                  dataformats="HWC")
+        except Exception:
+            pass
+
+    def log_image_file(self, tag: str, path: str, step: int = 0) -> None:
+        """Load a saved comparison PNG and mirror it into TensorBoard."""
+        if self.writer is None:
+            return
+        try:
+            import numpy as np
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+            self.log_image(tag, img, step)
+        except Exception:
+            pass
+
     def close(self) -> None:
         if self.writer is not None:
             self.writer.close()

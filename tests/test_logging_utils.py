@@ -59,3 +59,27 @@ def test_device_memory_helpers():
     stats = device_memory_mb()
     assert "bytes_in_use_mb" in stats
     device_memory_cleanup()  # must not raise
+
+
+def test_log_image_and_file(tmp_path):
+    """TB image logging: event files written for array and PNG inputs."""
+    import numpy as np
+    from simulgen_vae_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(log_dir=str(tmp_path / "runs"), name="T",
+                           console=False)
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
+    logger.log_image("array", img, step=0)
+
+    png = tmp_path / "cmp.png"
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(png)
+        logger.log_image_file("file", str(png), step=1)
+    except ImportError:
+        pass
+    logger.close()
+    if logger.writer is not None:
+        files = list((tmp_path / "runs").rglob("*"))
+        assert any(f.is_file() for f in files)

@@ -1,0 +1,118 @@
+"""Fused readout-chain op (matmul+GN+tanh+loss): parity vs the XLA
+composition, values AND gradients, interpret mode (hardware probe:
+scripts/probe_readout_chain.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simulgen_vae_tpu.ops.readout_chain import (
+    readout_chain_loss,
+    readout_chain_loss_reference,
+)
+
+
+def _case(b=2, t=6, f=16, c=300, seed=0):
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)) * 0.3
+    kernel = jnp.asarray(rng.standard_normal((f, c)).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.1
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    nb = jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)) * 0.5
+    return h, kernel, bias, scale, nb, x
+
+
+@pytest.mark.parametrize("lossfun", ["MSE", "MAE", "Huber", "smoothL1"])
+def test_forward_matches_reference(lossfun):
+    h, kernel, bias, scale, nb, x = _case()
+    inv = jnp.asarray(0.8, jnp.float32)
+    g = 4
+    la, ma = readout_chain_loss(h, kernel, bias, scale, nb, x, inv, g,
+                                1e-5, lossfun)
+    lb, mb = readout_chain_loss_reference(h, kernel, bias, scale, nb, x,
+                                          inv, g, 1e-5, lossfun)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    np.testing.assert_allclose(float(ma), float(mb), rtol=1e-5)
+
+
+def test_gradients_match_reference():
+    h, kernel, bias, scale, nb, x = _case(seed=1)
+    inv = jnp.asarray(1.3, jnp.float32)
+    g = 4
+
+    def loss_fused(h_, k_, b_, s_, nb_, inv_):
+        l, m = readout_chain_loss(h_, k_, b_, s_, nb_, x, inv_, g, 1e-5,
+                                  "MSE")
+        return 3.0 * l + 0.5 * m  # exercise both cotangents
+
+    def loss_ref(h_, k_, b_, s_, nb_, inv_):
+        l, m = readout_chain_loss_reference(h_, k_, b_, s_, nb_, x, inv_, g,
+                                            1e-5, "MSE")
+        return 3.0 * l + 0.5 * m
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        h, kernel, bias, scale, nb, inv)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        h, kernel, bias, scale, nb, inv)
+    names = ["dh", "dW", "dbias", "dscale", "dnorm_bias", "dinv_sigma"]
+    for name, a, b_ in zip(names, ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=1e-6, err_msg=name)
+
+
+def test_vae_fused_path_matches_unfused():
+    """Full VAE: fused_readout_loss=True returns the same recon losses and
+    parameter gradients as the standard path."""
+    from simulgen_vae_tpu.models.vae import VAE
+
+    model = VAE(latent_dim=4, hierarchical_dim=2, num_filter_enc=[8, 8],
+                num_filter_dec=[8, 8], num_node=24, num_time=6, small=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 24)) * 0.3
+    params = model.init({"params": key, "sample": key}, x)["params"]
+
+    def loss(p, fused):
+        _, recon, kls, mse = model.apply(
+            {"params": p}, x, fused_readout_loss=fused,
+            rngs={"sample": jax.random.PRNGKey(7)})
+        return 100.0 * recon + sum(kls) + 0.1 * mse
+
+    la, ga = jax.value_and_grad(lambda p: loss(p, False))(params)
+    lb, gb = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_vae_fused_path_with_sn_sigma():
+    """Fused path composes with the output-scaling spectral norm."""
+    from simulgen_vae_tpu.models.spectral_norm import (
+        compute_sigmas,
+        init_sn_state,
+    )
+    from simulgen_vae_tpu.models.vae import VAE
+
+    model = VAE(latent_dim=4, hierarchical_dim=2, num_filter_enc=[8, 8],
+                num_filter_dec=[8, 8], num_node=24, num_time=6, small=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 24)) * 0.3
+    params = model.init({"params": key, "sample": key}, x)["params"]
+    sn_u = init_sn_state(params, jax.random.PRNGKey(2))
+
+    def loss(p, fused):
+        sig, _ = compute_sigmas(p, sn_u)
+        _, recon, kls, _ = model.apply(
+            {"params": p, "sn_sigma": sig}, x, fused_readout_loss=fused,
+            rngs={"sample": jax.random.PRNGKey(7)})
+        return 100.0 * recon + sum(kls)
+
+    la, ga = jax.value_and_grad(lambda p: loss(p, False))(params)
+    lb, gb = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
