@@ -71,10 +71,12 @@ class VAETrainer:
         self.cfg = cfg
         self.aug = aug
         # Fused Pallas readout+loss train path (ops/readout_chain.py).
-        # Default: on for single-chip TPU runs (kill switch
-        # SIMULGEN_FUSED_READOUT=0); off elsewhere — the pallas_call has no
-        # GSPMD partitioning rule, so model/data-sharded meshes keep the
-        # XLA path until a shard_map wrapper exists.
+        # OPT-IN (SIMULGEN_FUSED_READOUT=1 or fused_readout=True): at
+        # flagship scale the measured full step was 100.7 ms fused vs
+        # 93.5 ms XLA (docs/PERF.md round 2) — the backward's extra y/x
+        # re-reads outweigh the forward's saved stats pass.  Ignored under
+        # a mesh either way (no GSPMD partitioning rule for the
+        # pallas_call; a shard_map wrapper would be needed).
         self._fused_readout_opt = fused_readout
         # fast_rng: rekey each epoch onto the RBG generator — much cheaper
         # bulk random bits on TPU than threefry (augmentation draws ~300M
@@ -183,9 +185,9 @@ class VAETrainer:
 
         if self._fused_readout_opt is not None:
             return self._fused_readout_opt and self.mesh is None
-        if os.environ.get("SIMULGEN_FUSED_READOUT", "1") in ("0", "false"):
-            return False
-        return jax.default_backend() == "tpu" and self.mesh is None
+        return (os.environ.get("SIMULGEN_FUSED_READOUT", "0")
+                in ("1", "true")
+                and jax.default_backend() == "tpu" and self.mesh is None)
 
     def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
         # Spectral norm WITHOUT materializing W/sigma: compute per-kernel
