@@ -89,6 +89,49 @@ def _sn_inv_sigma(module: nn.Module):
     return None
 
 
+def _conv_mode() -> str:
+    """How k>1 time-axis convs lower: 'conv' (lax.conv_general_dilated) or
+    'matmul' (sum of k time-shifted MXU matmuls).  XLA's TPU conv emitter
+    measured ~43% MXU on the 5120-wide k=5 decoder convs; the same op as k
+    dense [B*T, C] @ [C, F] matmuls keeps the systolic array fed (docs/PERF.md
+    round 2).  Override with SIMULGEN_CONV=conv|matmul."""
+    import os
+
+    mode = os.environ.get("SIMULGEN_CONV", "auto")
+    if mode in ("conv", "matmul"):
+        return mode
+    return "matmul" if jax.default_backend() == "tpu" else "conv"
+
+
+def conv1d_same(x, kernel):
+    """stride-1 SAME 1-D conv over [B, T, C] with HIO kernel [k, C, F].
+
+    k == 1 is a plain matmul; k > 1 dispatches per :func:`_conv_mode`.
+    Matmul mode computes ``sum_d shift(x, d) @ W[d]`` — slices of the padded
+    input are views, each term is an MXU-shaped dense matmul, f32 accumulate,
+    one cast at the end (bit-comparable to the conv lowering, which also
+    accumulates f32)."""
+    k = kernel.shape[0]
+    if k == 1:
+        return jnp.einsum("btc,cf->btf", x, kernel[0],
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    if _conv_mode() == "conv":
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+    t = x.shape[1]
+    pad = k // 2  # odd k only (reference uses 1/3/5)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    y = None
+    for d in range(k):
+        xd = jax.lax.dynamic_slice_in_dim(xp, d, t, axis=1)
+        yd = jnp.einsum("btc,cf->btf", xd, kernel[d],
+                        preferred_element_type=jnp.float32)
+        y = yd if y is None else y + yd
+    return y.astype(x.dtype)
+
+
 class _ConvCore(nn.Module):
     """Explicit-param 1-D conv, path/init-compatible with ``flax nn.Conv``
     (same ``kernel``/``bias`` names, shapes, and init streams) but SN-aware:
@@ -109,10 +152,7 @@ class _ConvCore(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1,), padding="SAME",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        y = conv1d_same(x, kernel)
         if inv is not None:
             y = y * inv.astype(y.dtype)
         return y + bias
@@ -340,10 +380,11 @@ class FusedPointwiseNormTanh(nn.Module):
             return group_norm_gelu(y, scale, bias=norm_bias, num_groups=g,
                                    eps=self.eps, act="tanh").astype(self.dtype)
 
+        sn_inv = inv  # keep the SN scalar distinct from the inverse-std below
         h32 = h.astype(jnp.float32)
         k32 = kernel.astype(jnp.float32).reshape(f, g, cg)
-        if inv is not None:
-            k32 = k32 * inv  # SN folds linearly into the analytic stats
+        if sn_inv is not None:
+            k32 = k32 * sn_inv  # SN folds linearly into the analytic stats
         b32 = bias.astype(jnp.float32).reshape(g, cg)
 
         w_sum = jnp.sum(k32, axis=2)                    # [F, G]
@@ -360,10 +401,10 @@ class FusedPointwiseNormTanh(nn.Module):
         denom = float(t * cg)
         mean = sum_y / denom                            # [B, G]
         var = sum_y2 / denom - mean ** 2
-        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.eps)
+        inv_std = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.eps)
 
         scale32 = scale.astype(jnp.float32)
-        inv_c = jnp.repeat(inv, cg, axis=1)             # [B, C]
+        inv_c = jnp.repeat(inv_std, cg, axis=1)         # [B, C]
         mean_c = jnp.repeat(mean, cg, axis=1)
         eff_scale = inv_c * scale32[None, :]
         eff_shift = (norm_bias.astype(jnp.float32)[None, :]
@@ -371,8 +412,8 @@ class FusedPointwiseNormTanh(nn.Module):
 
         y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
                        preferred_element_type=jnp.float32)
-        if inv is not None:
-            y = y * inv
+        if sn_inv is not None:
+            y = y * sn_inv
         y = y + bias.astype(jnp.float32)
         out = jnp.tanh(y * eff_scale[:, None, :] + eff_shift[:, None, :])
         return out.astype(self.dtype)
