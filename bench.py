@@ -251,24 +251,31 @@ def main():
     state, m = trainer._train_epoch(state, data, jax.random.PRNGKey(1))
     _ = float(m["loss"])
 
-    # Per-epoch timing (each epoch synced by a scalar readback) so the
-    # reported number carries a spread instead of a single point.  The
-    # readback adds one tunnel round trip per epoch; with steps_per_epoch
-    # batches amortized it stays <2% of epoch time at flagship scale.
+    # Block timing: sync (scalar readback) only at block boundaries.  A
+    # per-epoch readback costs a full tunnel round trip (~28 ms measured on
+    # this proxied backend — ~7 ms/step at 4 steps/epoch, pure harness
+    # artifact); async dispatch chains the epochs of a block back-to-back
+    # so the RTT amortizes over block_epochs * steps_per_epoch steps.
+    # Spread comes from timing each block separately.
     steps_per_epoch = resident_samples // batch
-    per_epoch_sps = []
-    for i in range(epochs):
+    n_blocks = 2
+    block_epochs = max(epochs // n_blocks, 1)
+    keys = [jax.random.PRNGKey(2 + i) for i in range(n_blocks * block_epochs)]
+    keys[0].block_until_ready()
+    block_sps = []
+    it = iter(keys)
+    for _ in range(n_blocks):
         t0 = time.perf_counter()
-        state, metrics = trainer._train_epoch(state, data,
-                                              jax.random.PRNGKey(2 + i))
+        for _ in range(block_epochs):
+            state, metrics = trainer._train_epoch(state, data, next(it))
         _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
-        per_epoch_sps.append(steps_per_epoch * batch / dt)
+        block_sps.append(block_epochs * steps_per_epoch * batch / dt)
 
-    per_epoch_sps = np.asarray(per_epoch_sps)
+    block_sps = np.asarray(block_sps)
     n_chips = jax.device_count()
-    sps_per_chip = float(np.median(per_epoch_sps)) / n_chips
-    spread = float(per_epoch_sps.max() - per_epoch_sps.min()) / n_chips
+    sps_per_chip = float(np.median(block_sps)) / n_chips
+    spread = float(block_sps.max() - block_sps.min()) / n_chips
 
     baseline = estimate_a100_baseline_sps(batch, num_time, num_node, filters)
     vs_baseline = sps_per_chip / baseline
@@ -291,7 +298,7 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
         "extra": {
-            "epochs_timed": epochs,
+            "epochs_timed": n_blocks * block_epochs,
             "spread_sps": round(spread, 2),
             "mfu_v5e_bf16": round(mfu, 4) if on_tpu else None,
             "model_tflops_per_step": round(flops_step / 1e12, 3),

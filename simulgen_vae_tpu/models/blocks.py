@@ -91,16 +91,16 @@ def _sn_inv_sigma(module: nn.Module):
 
 def _conv_mode() -> str:
     """How k>1 time-axis convs lower: 'conv' (lax.conv_general_dilated) or
-    'matmul' (sum of k time-shifted MXU matmuls).  XLA's TPU conv emitter
-    measured ~43% MXU on the 5120-wide k=5 decoder convs; the same op as k
-    dense [B*T, C] @ [C, F] matmuls keeps the systolic array fed (docs/PERF.md
-    round 2).  Override with SIMULGEN_CONV=conv|matmul."""
+    'matmul' (sum of k time-shifted MXU matmuls).  Measured on v5e at
+    flagship scale (docs/PERF.md round 2): matmul mode wins the forward
+    (29.4 vs 33.1 ms) but loses the full bench step (159.9 vs 166.5
+    samples/s) — XLA's conv-backward fusions beat the unrolled matmul
+    backward — so 'conv' is the default and matmul stays an opt-in
+    experiment.  Override with SIMULGEN_CONV=conv|matmul."""
     import os
 
-    mode = os.environ.get("SIMULGEN_CONV", "auto")
-    if mode in ("conv", "matmul"):
-        return mode
-    return "matmul" if jax.default_backend() == "tpu" else "conv"
+    return ("matmul" if os.environ.get("SIMULGEN_CONV") == "matmul"
+            else "conv")
 
 
 def conv1d_same(x, kernel):
