@@ -45,6 +45,7 @@ def test_mlp_adaptive_bottleneck():
     assert y1.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_cnn_conditioner_shapes_and_bn():
     model = LatentConditionerImg(
         latent_conditioner_filter=[8, 8, 16, 16], latent_dim_end=32,

@@ -53,6 +53,7 @@ def test_matmul_conv_grads_match(k, monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_vae_matmul_conv_parity(monkeypatch):
     """Whole-model forward: matmul-mode convs == conv-mode convs."""
     from simulgen_vae_tpu.models.vae import VAE

@@ -63,6 +63,7 @@ def test_gradients_match_reference():
                                    rtol=5e-4, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_vae_fused_path_matches_unfused():
     """Full VAE: fused_readout_loss=True returns the same recon losses and
     parameter gradients as the standard path."""
@@ -88,6 +89,7 @@ def test_vae_fused_path_matches_unfused():
                                    rtol=5e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vae_fused_path_with_sn_sigma():
     """Fused path composes with the output-scaling spectral norm."""
     from simulgen_vae_tpu.models.spectral_norm import (

@@ -3,6 +3,7 @@
 import numpy as np
 import torch
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -139,6 +140,7 @@ def test_compute_sigmas_matches_materializing_sigma():
                                np.asarray(u_b["l"]["kernel"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_output_scaling_sn_matches_materializing_in_model():
     """Full VAE forward + gradients: params materialized as W/sigma vs the
     sn_sigma output-scaling collection give the same outputs and grads."""

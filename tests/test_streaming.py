@@ -11,6 +11,7 @@ from simulgen_vae_tpu.data.scaler import data_scaler
 from simulgen_vae_tpu.train.vae_trainer import VAETrainer
 
 
+@pytest.mark.slow
 def test_streaming_matches_training_quality():
     data = synthetic_dataset(16, 12, 32, seed=0)
     scaled, _, _ = data_scaler(data, 12, 32, save_path=None)

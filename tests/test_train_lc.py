@@ -30,6 +30,7 @@ def make_mlp():
     )
 
 
+@pytest.mark.slow
 def test_lc_training_loss_decreases(lc_data):
     x, y1, y2 = lc_data
     trainer = LCTrainer(make_mlp(), epochs=40, lr=3e-3, batch_size=8,
@@ -108,6 +109,7 @@ def tiny_vae():
     return model, params
 
 
+@pytest.mark.slow
 def test_e2e_gradient_flows_through_decoder(lc_data, tiny_vae):
     """The reconstruction term must carry gradient to the conditioner even
     with regularization off — the very path the reference severs."""
@@ -145,6 +147,7 @@ def test_e2e_gradient_flows_through_decoder(lc_data, tiny_vae):
     assert gnorm > 1e-8, "recon gradient is severed!"
 
 
+@pytest.mark.slow
 def test_e2e_training_runs(lc_data, tiny_vae):
     x, y1, y2 = lc_data
     vae_model, vae_params = tiny_vae

@@ -30,6 +30,7 @@ def scaled_data():
     return scaled
 
 
+@pytest.mark.slow
 def test_vae_loss_decreases(scaled_data):
     cfg = small_cfg()
     trainer = VAETrainer(cfg)
