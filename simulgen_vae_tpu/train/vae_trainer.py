@@ -296,12 +296,22 @@ class VAETrainer:
                              sn_u=new_u), metrics
 
     def train_epoch_streaming(self, state: VAETrainState, data: np.ndarray,
-                              key: jax.Array) -> Tuple[VAETrainState, Dict]:
+                              key: jax.Array, partner_mode: str = "dataset",
+                              max_steps: Optional[int] = None,
+                              ) -> Tuple[VAETrainState, Dict]:
         """One epoch over host-resident [N, T, nodes] data, streaming batches.
 
         The reference's ``load_all=0`` path (utils.py:44-66) with pinned
         buffers becomes async device_put; mixup partners are random host rows
         like the HBM path.
+
+        ``partner_mode``: "dataset" (default) draws mixup partners uniformly
+        from the whole host dataset like the reference (augmentation.py:72-78)
+        — costing a second H2D batch per step; "batch" reuses the current
+        device batch rolled by one sample as partners — a documented
+        deviation (batch-internal mixup, the standard torch-mixup recipe)
+        that HALVES host->device traffic when streaming is H2D-bound.
+        ``max_steps`` truncates the epoch (benchmark use).
         """
         cfg = self.cfg
         n = data.shape[0]
@@ -343,12 +353,17 @@ class VAETrainer:
         # flagship working set (~10 GB of node-wide activations + grads)
         # leaves little HBM headroom for queued batches.
         MAX_IN_FLIGHT = 1
+        steps = (num_batches if max_steps is None
+                 else min(max_steps, num_batches))
         per_step = []
-        for i in range(num_batches):
+        for i in range(steps):
             idx = perm[i]
-            pidx = rng.integers(0, n, size=bsz)
             batch = host_gather(idx)
-            partner = host_gather(pidx)
+            if partner_mode == "batch":
+                partner = jnp.roll(batch, 1, axis=0)
+            else:
+                pidx = rng.integers(0, n, size=bsz)
+                partner = host_gather(pidx)
             state, metrics = self._train_step(
                 state, batch, partner, jax.random.fold_in(key, i)
             )
