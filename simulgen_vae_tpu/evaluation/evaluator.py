@@ -112,6 +112,13 @@ class ReconstructionEvaluator:
         """2x2 dual-view comparison plot (rec_eval.py:180-256).
 
         All arrays are [time, node]; values scaled x1e6 like the reference.
+
+        NOTE: this is deliberate *presentation-artifact parity* — titles,
+        labels, colors, figure geometry, and the x1e6 scaling intentionally
+        reproduce the reference's matplotlib output so downstream tooling
+        and eyes see identical plots.  The transcription is confined to
+        this plotting method (and evaluation/plotter.py, same rationale);
+        all computation feeding it is the TPU-native redesign.
         """
         import matplotlib
 
