@@ -104,9 +104,12 @@ def main():
           f"{out.nbytes / dt / 1e6:.0f} MB/s", flush=True)
 
     # -- resident compute step (no H2D) ------------------------------------
+    # _train_step donates its state arg: time a COPY so the pristine state
+    # survives for the streaming runs below.
+    st = jax.tree.map(jnp.copy, state)
     batch = jax.device_put(out)
     partner = jnp.roll(batch, 1, axis=0)
-    st, m = trainer._train_step(state, batch, partner, jax.random.PRNGKey(2))
+    st, m = trainer._train_step(st, batch, partner, jax.random.PRNGKey(2))
     _ = float(m["loss"])
     t0 = time.perf_counter()
     for i in range(3):
@@ -125,9 +128,10 @@ def main():
              else [args.partner])
     steps = None if args.full_epoch else args.steps
     for mode in modes:
+        st_in = jax.tree.map(jnp.copy, state)  # state is donated per step
         t0 = time.perf_counter()
         state2, m = trainer.train_epoch_streaming(
-            state, data, jax.random.PRNGKey(7), partner_mode=mode,
+            st_in, data, jax.random.PRNGKey(7), partner_mode=mode,
             max_steps=steps,
         )
         dt = time.perf_counter() - t0
