@@ -127,8 +127,9 @@ def main():
     modes = (["dataset", "batch"] if args.partner == "both"
              else [args.partner])
     steps = None if args.full_epoch else args.steps
+    del state  # HBM: keep at most one 4.7 GB train state alive at a time
     for mode in modes:
-        st_in = jax.tree.map(jnp.copy, state)  # state is donated per step
+        st_in = trainer.init_state(jax.random.PRNGKey(11))
         t0 = time.perf_counter()
         state2, m = trainer.train_epoch_streaming(
             st_in, data, jax.random.PRNGKey(7), partner_mode=mode,
@@ -141,6 +142,7 @@ def main():
         results[f"stream_{mode}_s_per_step"] = round(dt / n_steps, 2)
         print(f"streaming partner={mode}: {n_steps} steps in {dt:.1f}s = "
               f"{sps:.2f} samples/s (loss {m['loss']:.3e})", flush=True)
+        del st_in, state2
 
     results["config"] = {"samples": n, "time": t, "nodes": c,
                          "batch": bsz, "steps": steps or n // bsz,
