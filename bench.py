@@ -195,6 +195,72 @@ def bench_quality(epochs: int = 4000):
     }))
 
 
+def bench_generate():
+    """Generation/serving throughput (SURVEY §3.5): deterministic
+    conditioner-latents -> field decode at flagship scale, the inference
+    path behind `generate.py`.  Reports the XLA path and the Pallas
+    fused-GroupNorm path (SIMULGEN_PALLAS=1) — the kernel's measured win
+    is the forward-only regime (docs/PERF.md)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from simulgen_vae_tpu.models.vae import VAE
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        node, t, batch = 95008, 200, 16
+        filters = [1024, 512, 256, 128]
+    else:
+        node, t, batch = 2048, 50, 16
+        filters = [64, 32, 16, 8]
+
+    model = VAE(latent_dim=32, hierarchical_dim=8, num_filter_enc=filters,
+                num_filter_dec=filters[::-1], num_node=node, num_time=t,
+                small=True, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, t, node)).astype(np.float32) * .3,
+                    model.dtype)
+    params = model.init({"params": key, "sample": key}, x)["params"]
+    z = jnp.asarray(np.tanh(rng.standard_normal((batch, 32)))
+                    .astype(np.float32))
+    n_levels = len(filters) - 1
+    xs = [jnp.asarray(np.tanh(rng.standard_normal((batch, 8)))
+                      .astype(np.float32)) for _ in range(n_levels - 1)]
+
+    results = {}
+    for pallas in ([0, 1] if on_tpu else [0]):
+        os.environ["SIMULGEN_PALLAS"] = str(pallas)
+        gen = jax.jit(lambda p, z_, xs_: model.apply(
+            {"params": p}, z_, xs_, method=model.generate,
+            rngs={"sample": key}))
+        out = gen(params, z, xs)
+        _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            out = gen(params, z, xs)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / n
+        results["pallas" if pallas else "xla"] = batch / dt
+    best = max(results.values())
+    print(json.dumps({
+        "metric": (f"generation samples/sec ({t}x{node}, "
+                   f"{'bf16' if on_tpu else 'f32'}, batch {batch})"),
+        "value": round(best, 2), "unit": "samples/sec/chip",
+        "vs_baseline": None,
+        "extra": {k: round(v, 2) for k, v in results.items()},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -315,5 +381,7 @@ if __name__ == "__main__":
         bench_lc("mlp" if sys.argv[1] == "lc_mlp" else "cnn")
     elif len(sys.argv) > 1 and sys.argv[1] == "quality":
         bench_quality(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "generate":
+        bench_generate()
     else:
         main()
