@@ -100,39 +100,68 @@ def load_pipeline(condition: str = "input_data/condition.txt",
                 data_scaler=data_scaler)
 
 
-def generate(pipeline: dict, inputs: np.ndarray,
-             descale_output: bool = True) -> np.ndarray:
-    """Design inputs -> simulation fields ``[N, time, nodes]``.
+def make_generate_fn(pipeline: dict, descale_output: bool = True):
+    """Build ONE jitted serving function: conditioner -> latent descale ->
+    decoder -> (optional) physical-unit descale, entirely on device.
 
-    ``inputs`` are already preprocessed conditioner inputs (scaled CSV rows
-    or /255 flattened images).  ``descale_output=True`` inverse-applies the
-    training data scaler so fields come back in physical units.
+    The scalers are min-max affines (``x * scale_ + min_``), so their
+    inverses trace cleanly into the graph — no host round trips between the
+    stages (the reference pipes through numpy/sklearn between every stage,
+    reconstruction_evaluator.py:160-178).  The returned fn maps a
+    preprocessed input batch -> fields ``[N, time, nodes]``.
     """
     import jax
     import jax.numpy as jnp
 
     from simulgen_vae_tpu.models.vae import VAE
 
-    cfg = pipeline["cfg"]
     lc_model = pipeline["lc_model"]
     vae_model = pipeline["vae_model"]
+    lv_min = jnp.asarray(pipeline["lv_scaler"].min_, jnp.float32)
+    lv_scale = jnp.asarray(pipeline["lv_scaler"].scale_, jnp.float32)
+    xs_min = jnp.asarray(pipeline["xs_scaler"].min_, jnp.float32)
+    xs_scale = jnp.asarray(pipeline["xs_scaler"].scale_, jnp.float32)
+    ds = pipeline["data_scaler"]
+    d_min = jnp.asarray(ds.min_, jnp.float32)
+    d_scale = jnp.asarray(ds.scale_, jnp.float32)
+    key = jax.random.PRNGKey(0)  # mode='fix' decode draws nothing
 
-    y1, y2 = lc_model.apply(pipeline["lc_vars"], jnp.asarray(inputs),
-                            deterministic=True)
-    z = pipeline["lv_scaler"].inverse_transform(y1)
-    b, nh, hd = y2.shape
-    xs_flat = pipeline["xs_scaler"].inverse_transform(y2.reshape(b, nh * hd))
-    xs = [xs_flat.reshape(b, nh, hd)[:, i] for i in range(nh)]
+    @jax.jit
+    def run(inputs):
+        y1, y2 = lc_model.apply(pipeline["lc_vars"], inputs,
+                                deterministic=True)
+        z = (y1 - lv_min) / lv_scale
+        b, nh, hd = y2.shape
+        xs_flat = (y2.reshape(b, nh * hd) - xs_min) / xs_scale
+        xs = [xs_flat.reshape(b, nh, hd)[:, i] for i in range(nh)]
+        field = vae_model.apply(pipeline["vae_vars"], z, xs,
+                                method=VAE.generate, rngs={"sample": key})
+        if descale_output:
+            f32 = field.astype(jnp.float32)
+            field = (f32 - d_min) / d_scale
+        return field
 
-    field = vae_model.apply(pipeline["vae_vars"], z, xs, method=VAE.generate,
-                            rngs={"sample": jax.random.PRNGKey(0)})
-    field = np.asarray(field)
+    return run
 
-    if descale_output:
-        ds = pipeline["data_scaler"]
-        field = np.asarray(ds.inverse_transform(
-            field.reshape(-1, cfg.num_node))).reshape(field.shape)
-    return field
+
+def generate(pipeline: dict, inputs: np.ndarray,
+             descale_output: bool = True) -> np.ndarray:
+    """Design inputs -> simulation fields ``[N, time, nodes]``.
+
+    ``inputs`` are already preprocessed conditioner inputs (scaled CSV rows
+    or /255 flattened images).  ``descale_output=True`` inverse-applies the
+    training data scaler so fields come back in physical units.  The whole
+    pipeline runs as one jitted graph (see :func:`make_generate_fn`); the
+    compiled fn is cached on the pipeline dict for repeat calls.
+    """
+    import jax.numpy as jnp
+
+    cache_key = ("_gen_fn", bool(descale_output))
+    fn = pipeline.get(cache_key)
+    if fn is None:
+        fn = make_generate_fn(pipeline, descale_output)
+        pipeline[cache_key] = fn
+    return np.asarray(fn(jnp.asarray(inputs)))
 
 
 def main(argv=None) -> int:
