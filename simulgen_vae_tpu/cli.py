@@ -7,8 +7,9 @@ enhanced / end-to-end) -> reconstruction comparison.
 Flag surface keeps the reference CLI (``--preset --plot --lc_only --size
 --load_all``) and replaces ``--use_ddp`` with mesh flags (``--mesh_data`` /
 ``--mesh_model``) since parallelism is GSPMD over a device mesh, not NCCL
-(SURVEY §2.7).  ``--load_all`` is accepted for compatibility; data always
-lives in device memory here.
+(SURVEY §2.7).  ``--load_all=0`` maps to the streaming path (host-resident
+dataset, batches streamed to device — reference modules/utils.py:44-66);
+``--load_all=1`` (default) keeps the dataset device-resident.
 
 Artifact layout parity: ``model_save/`` (scaler.pkl, latent_vectors.npy, xs.npy,
 latent/xs scaler pickles), ``checkpoints/`` (orbax VAE + LC state, comparison
@@ -52,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--size", dest="size", default="small",
                         choices=["small", "large"])
     parser.add_argument("--load_all", dest="load_all", default="1",
-                        help="accepted for reference-CLI compatibility")
+                        help="reference-CLI parity: --load_all=0 keeps the "
+                             "dataset in host memory and streams batches to "
+                             "the device (same as --stream; reference "
+                             "modules/utils.py:44-66)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
     parser.add_argument("--mesh_model", type=int, default=1,
@@ -76,8 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_load_all(args) -> None:
+    """Map ``--load_all=0`` to the streaming path (reference semantics:
+    modules/utils.py:44-66 keeps the dataset CPU-pinned and moves batches
+    per-step when load_all is false)."""
+    if str(args.load_all) in ("0", "false", "False"):
+        args.stream = True
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    resolve_load_all(args)
 
     import jax
     import jax.numpy as jnp
@@ -215,12 +228,12 @@ def main(argv=None) -> int:
         evaluate_vae_reconstruction(
             vae_model, eval_params, new_x_train[:n_train], key,
             recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
-            dataset_name="Training Reconstruction",
+            dataset_name="Training Reconstruction", save_images=True,
         )
         evaluate_vae_reconstruction(
             vae_model, eval_params, new_x_train[n_train:], key,
             recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
-            dataset_name="Validation",
+            dataset_name="Validation", save_images=True,
         )
         latent_vectors, hierarchical, recon_loss, _, _ = \
             evaluate_vae_reconstruction(

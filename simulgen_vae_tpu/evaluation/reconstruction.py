@@ -75,16 +75,69 @@ def _evaluate_chunk(model: VAE, params, chunk, key, recon_iter: int):
     return z0, hier, mse0, gen0
 
 
+def _save_comparison_pngs(data: np.ndarray, reconstructed: np.ndarray,
+                          recon_loss: np.ndarray, dataset_name: str,
+                          save_dir: str | None = None,
+                          max_images: int = 10) -> None:
+    """Save first-``max_images`` original-vs-reconstruction comparison PNGs.
+
+    Artifact parity with reference ``modules/utils.py:519-545``: one PNG per
+    sample under ``checkpoints/<dataset slug>/reconstruction_sample_NNN.png``,
+    plotting up to 3 channels, original solid / reconstruction dashed, MSE in
+    each subplot title.  (dpi lowered 300->120: same artifact, ~6x smaller.)
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if save_dir is None:
+        slug = (dataset_name.replace(" ", "_").replace("(", "")
+                .replace(")", "").lower())
+        save_dir = os.path.join("checkpoints", slug)
+    os.makedirs(save_dir, exist_ok=True)
+
+    n = min(max_images, data.shape[0])
+    for j in range(n):
+        try:
+            original = np.asarray(data[j])
+            recon = reconstructed[j]
+            num_ch = min(3, original.shape[0])
+            plt.figure(figsize=(12, 6))
+            for ch in range(num_ch):
+                plt.subplot(num_ch, 1, ch + 1)
+                plt.plot(original[ch], label="Original", alpha=0.7)
+                plt.plot(recon[ch], label="Reconstructed", alpha=0.7,
+                         linestyle="--")
+                plt.title(f"Channel {ch + 1} - Sample {j + 1} - "
+                          f"MSE: {recon_loss[j]:.4E}")
+                plt.legend()
+                plt.grid(True, alpha=0.3)
+            plt.tight_layout()
+            plt.savefig(f"{save_dir}/reconstruction_sample_{j + 1:03d}.png",
+                        dpi=120, bbox_inches="tight")
+            plt.close()
+        except Exception as e:  # parity: reference warns and continues
+            print(f"Warning: Could not save reconstruction image for "
+                  f"sample {j + 1}: {e}")
+    print(f"Saved {n} reconstruction images to: {save_dir}/")
+
+
 def evaluate_vae_reconstruction(model: VAE, params, data, key,
                                 recon_iter: int = 1, batch_size: int = 16,
                                 dataset_name: str = "Dataset",
-                                verbose: bool = True
+                                verbose: bool = True,
+                                save_images: bool = False,
+                                save_dir: str | None = None
                                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                            np.ndarray, float]:
     """Evaluate reconstruction over [P, T, N] data in device-sized chunks.
 
     Returns (latent_vectors, hierarchical_latent_vectors, reconstruction_loss,
-    reconstructed, total_loss) like the reference (utils.py:561).
+    reconstructed, total_loss) like the reference (utils.py:561).  With
+    ``save_images=True`` also writes the reference's first-10 per-sample
+    comparison PNGs (utils.py:519-545).
     """
     data = jnp.asarray(data)
     n = data.shape[0]
@@ -114,7 +167,14 @@ def evaluate_vae_reconstruction(model: VAE, params, data, key,
     total = float(recon_loss.sum())
 
     if verbose:
+        # Per-sample line, parity with reference utils.py:517.
+        for j in range(n):
+            print(f"Parameter {j + 1} finished - MSE: {recon_loss[j]:.4E}")
         print(f"Total {dataset_name} MSE loss: {recon_loss.mean():.3e}")
+
+    if save_images:
+        _save_comparison_pngs(np.asarray(data), reconstructed, recon_loss,
+                              dataset_name, save_dir=save_dir)
 
     return latent_vectors, hierarchical, recon_loss, reconstructed, total
 

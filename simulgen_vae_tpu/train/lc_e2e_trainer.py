@@ -73,7 +73,8 @@ class E2ETrainer:
                  lc_alpha: float = 1.0,
                  use_latent_regularization: bool = True,
                  latent_reg_weight: float = 1e-3,
-                 sn_filter: Optional[Callable] = None):
+                 sn_filter: Optional[Callable] = None,
+                 sever_recon_gradient: bool = False):
         self.lc_model = lc_model
         self.vae_model = vae_model
         # Freeze the decoder (e2e.py:45-49).
@@ -88,6 +89,11 @@ class E2ETrainer:
         self.use_reg = use_latent_regularization
         self.reg_weight = latent_reg_weight
         self.sn_filter = sn_filter
+        # Parity probe ONLY: replicate the reference's defect where descaling
+        # via sklearn detaches the graph (e2e.py:66-92), so the recon term
+        # carries no gradient and only latent regularization trains.  Used by
+        # scripts/head_to_head.py --stage e2e to quantify the fixed gradient.
+        self.sever_recon_gradient = sever_recon_gradient
         self.tx = optax.chain(
             hybrid_clip(1e-5, 10.0),
             optax.inject_hyperparams(optax.adamw)(
@@ -152,6 +158,8 @@ class E2ETrainer:
         (y_pred1, y_pred2), new_bs = self._lc_apply(normed, batch_stats, x,
                                                     k_drop, train)
         z, xs = self._descale(y_pred1, y_pred2)
+        if self.sever_recon_gradient:
+            z, xs = jax.lax.stop_gradient((z, xs))
         reconstructed = self._decode(z, xs, k_dec)
         recon = self.recon_loss(reconstructed.astype(jnp.float32),
                                 target.astype(jnp.float32))

@@ -99,6 +99,11 @@ def test_cli_full_pipeline_csv(workdir, monkeypatch):
     assert os.path.exists("model_save/xs_scaler.pkl")
     assert os.path.exists("SimulGen-VAE_L2_loss.txt")
     assert os.path.exists("checkpoints/reconstruction_dual_view_0.png")
+    # per-sample comparison PNGs (reference utils.py:519-545 artifact parity)
+    assert os.path.exists(
+        "checkpoints/training_reconstruction/reconstruction_sample_001.png")
+    assert os.path.exists(
+        "checkpoints/validation/reconstruction_sample_001.png")
 
     lv = np.load("model_save/latent_vectors.npy")
     xs = np.load("model_save/xs.npy")

@@ -82,6 +82,7 @@ def test_cnn_signed_input_rescale():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cnn_sn_filter_matches_layers():
     from simulgen_vae_tpu.models.conditioner_cnn import sn_filter
     from flax import traverse_util

@@ -90,3 +90,21 @@ def test_vae_config_from_condition():
     lc = LCConfig.from_condition(raw, [32, 64])
     assert lc.use_e2e_training is True
     assert lc.e2e_loss_function == "Huber"
+
+
+def test_load_all_zero_maps_to_streaming():
+    """--load_all=0 must select the streaming path (reference
+    modules/utils.py:44-66 CPU-pinned semantics), not be ignored."""
+    from simulgen_vae_tpu.cli import build_parser, resolve_load_all
+
+    args = build_parser().parse_args(["--load_all=0"])
+    resolve_load_all(args)
+    assert args.stream is True
+
+    args = build_parser().parse_args(["--load_all=1"])
+    resolve_load_all(args)
+    assert args.stream is False
+
+    args = build_parser().parse_args(["--load_all=1", "--stream"])
+    resolve_load_all(args)
+    assert args.stream is True

@@ -95,6 +95,7 @@ def test_reconstruction_evaluator(tiny_vae, data, tmp_path):
     assert (tmp_path / "reconstruction_dual_view_0.png").exists()
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from simulgen_vae_tpu.config import VAEConfig
     from simulgen_vae_tpu.train.vae_trainer import VAETrainer

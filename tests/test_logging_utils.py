@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from simulgen_vae_tpu.utils import get_latest_file
 from simulgen_vae_tpu.utils.logging import MetricsLogger, epoch_log_line
@@ -50,6 +51,7 @@ def test_get_latest_file(tmp_path):
         get_latest_file(str(tmp_path), "*.bin")
 
 
+@pytest.mark.slow
 def test_device_memory_helpers():
     from simulgen_vae_tpu.utils.profiling import (
         device_memory_cleanup,

@@ -43,7 +43,9 @@ def test_param_sharding_rules():
     mesh = make_mesh(model=2)
     cfg = small_cfg()
     trainer = VAETrainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # eval_shape: sharding rules only need the param tree structure, not
+    # materialized weights — skips the init compile on this 1-core host.
+    state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
     sh = param_shardings(state.params, mesh, cfg.num_node)
 
     from flax import traverse_util

@@ -45,6 +45,7 @@ def test_lc_training_loss_decreases(lc_data):
     assert p1.shape == (4, 8) and p2.shape == (4, 2, 3)
 
 
+@pytest.mark.slow
 def test_lc_enhanced_loss_mode(lc_data):
     x, y1, y2 = lc_data
     trainer = LCTrainer(make_mlp(), epochs=6, lr=1e-3, batch_size=8,
