@@ -195,33 +195,34 @@ def bench_quality(epochs: int = 4000):
     }))
 
 
-def bench_generate():
-    """Generation/serving throughput (SURVEY §3.5): deterministic
-    conditioner-latents -> field decode at flagship scale, the inference
-    path behind `generate.py`.  Reports the XLA path and the Pallas
-    fused-GroupNorm path (SIMULGEN_PALLAS=1) — the kernel's measured win
-    is the forward-only regime (docs/PERF.md)."""
+def generate_sweep(batch_sizes=(1, 4, 16, 64), reps: int = 30,
+                   pallas: bool = False):
+    """Serving sweep: per-batch-size latency distribution (p50/p95/p99 ms)
+    and throughput of the one-graph generate pipeline (deterministic
+    conditioner-latents -> field decode, mode='fix'), flagship geometry.
+
+    Each rep is individually synced by a scalar readback, so the percentile
+    spread includes the host round trip a real serving caller would pay
+    (reference analog: the buried conditioner->decoder path at
+    reconstruction_evaluator.py:160-178).  Returns {batch: stats} dict.
+    """
     import os
 
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
-
     from simulgen_vae_tpu.models.vae import VAE
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        node, t, batch = 95008, 200, 16
+        node, t = 95008, 200
         filters = [1024, 512, 256, 128]
     else:
-        node, t, batch = 2048, 50, 16
+        node, t = 2048, 50
         filters = [64, 32, 16, 8]
+        reps = min(reps, 10)
 
+    os.environ["SIMULGEN_PALLAS"] = "1" if pallas else "0"
     model = VAE(latent_dim=32, hierarchical_dim=8, num_filter_enc=filters,
                 num_filter_dec=filters[::-1], num_node=node, num_time=t,
                 small=True, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
@@ -230,34 +231,84 @@ def bench_generate():
     x = jnp.asarray(rng.standard_normal((2, t, node)).astype(np.float32) * .3,
                     model.dtype)
     params = model.init({"params": key, "sample": key}, x)["params"]
-    z = jnp.asarray(np.tanh(rng.standard_normal((batch, 32)))
-                    .astype(np.float32))
     n_levels = len(filters) - 1
-    xs = [jnp.asarray(np.tanh(rng.standard_normal((batch, 8)))
-                      .astype(np.float32)) for _ in range(n_levels - 1)]
 
-    results = {}
-    for pallas in ([0, 1] if on_tpu else [0]):
-        os.environ["SIMULGEN_PALLAS"] = str(pallas)
-        gen = jax.jit(lambda p, z_, xs_: model.apply(
-            {"params": p}, z_, xs_, method=model.generate,
-            rngs={"sample": key}))
-        out = gen(params, z, xs)
-        _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
+    gen = jax.jit(lambda p, z_, xs_: model.apply(
+        {"params": p}, z_, xs_, method=model.generate, rngs={"sample": key}))
+
+    # Host-sync floor: p50 of a scalar readback of an already-computed value.
+    # On this container the TPU rides a network tunnel (~28 ms RTT) that a
+    # co-located serving host would not pay; report it so the device-side
+    # latency can be read out of the percentiles.
+    zero = jnp.zeros(())
+    _ = float(zero)
+    sync = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        n = 10
-        for _ in range(n):
+        _ = float(zero + 0.0)
+        sync.append((time.perf_counter() - t0) * 1e3)
+    sync_ms = float(np.percentile(sync, 50))
+
+    sweep = {}
+    for batch in batch_sizes:
+        z = jnp.asarray(np.tanh(rng.standard_normal((batch, 32)))
+                        .astype(np.float32))
+        xs = [jnp.asarray(np.tanh(rng.standard_normal((batch, 8)))
+                          .astype(np.float32)) for _ in range(n_levels - 1)]
+        out = gen(params, z, xs)
+        _ = float(jnp.sum(out.astype(jnp.float32)))  # compile + sync
+        lat = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
             out = gen(params, z, xs)
-        _ = float(jnp.sum(out.astype(jnp.float32)))
-        dt = (time.perf_counter() - t0) / n
-        results["pallas" if pallas else "xla"] = batch / dt
-    best = max(results.values())
+            _ = float(jnp.sum(out.astype(jnp.float32)))  # per-rep sync
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.asarray(lat)
+        p50 = float(np.percentile(lat, 50))
+        sweep[batch] = {
+            "p50_ms": round(p50, 2),
+            "p95_ms": round(float(np.percentile(lat, 95)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2),
+            "samples_per_sec": round(batch / p50 * 1e3, 1),
+            "device_p50_ms_est": round(max(p50 - sync_ms, 0.0), 2),
+            "device_sps_est": round(batch / max(p50 - sync_ms, 1e-3) * 1e3, 1),
+        }
+    return sweep, (t, node, "bf16" if on_tpu else "f32", round(sync_ms, 2))
+
+
+def bench_generate():
+    """Generation/serving benchmark (SURVEY §3.5): batch sweep with latency
+    percentiles for the jitted generate pipeline; reports best throughput as
+    the headline and the full sweep (incl. the Pallas-GN variant at batch 16)
+    in extra."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    sweep, (t, node, dt, sync_ms) = generate_sweep()
+    on_tpu = jax.default_backend() == "tpu"
+    pallas16 = None
+    if on_tpu:
+        ps, _ = generate_sweep(batch_sizes=(16,), pallas=True)
+        pallas16 = ps[16]["samples_per_sec"]
+    best_batch = max(sweep, key=lambda b: sweep[b]["samples_per_sec"])
+    best = sweep[best_batch]["samples_per_sec"]
     print(json.dumps({
-        "metric": (f"generation samples/sec ({t}x{node}, "
-                   f"{'bf16' if on_tpu else 'f32'}, batch {batch})"),
-        "value": round(best, 2), "unit": "samples/sec/chip",
+        "metric": f"generation samples/sec ({t}x{node}, {dt}, "
+                  f"best batch {best_batch})",
+        "value": best, "unit": "samples/sec/chip",
         "vs_baseline": None,
-        "extra": {k: round(v, 2) for k, v in results.items()},
+        "extra": {"sweep": {str(k): v for k, v in sweep.items()},
+                  "pallas_gn_batch16_sps": pallas16,
+                  "host_sync_floor_p50_ms": sync_ms,
+                  "note": "per-rep scalar-readback sync: percentiles include"
+                          " the host round trip (this container tunnels the"
+                          " TPU, ~28 ms RTT); device_* fields subtract the"
+                          " measured sync floor"},
     }))
 
 
@@ -371,6 +422,20 @@ def main():
             "baseline_sps_a100_eager": round(baseline, 2),
         },
     }
+    if on_tpu:
+        # serving entry (VERDICT r2 item 4): compact generate sweep so the
+        # round bench JSON carries the inference numbers too
+        try:
+            del state, data  # free HBM before the decode graphs
+            sweep, (gt, gnode, gdt, gsync) = generate_sweep(
+                batch_sizes=(16, 64), reps=15)
+            result["extra"]["generate"] = {
+                "geometry": f"{gt}x{gnode} {gdt}",
+                "host_sync_floor_p50_ms": gsync,
+                **{f"batch{k}": v for k, v in sweep.items()},
+            }
+        except Exception as e:  # serving sweep must never break the bench
+            result["extra"]["generate"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

@@ -152,7 +152,10 @@ def run_rebuild(scaled, epochs, batch, lr, alpha, filters,
     and return (final MSE, final KL, hist, wall s, (trainer, eval_params))."""
     import jax
 
-    jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: leave the environment default (this container pins the TPU
+    # plugin via sitecustomize; overriding the name breaks plugin lookup)
     import jax.numpy as jnp
 
     from simulgen_vae_tpu.config import VAEConfig
@@ -227,7 +230,8 @@ def _lc_final_metrics_torch(model, x, y1, y2):
     return m1, m2
 
 
-def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir):
+def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir,
+                     seed=0):
     """Train the reference's train_latent_conditioner (torch CPU, csv mode)."""
     import torch
     from torch.utils.data import DataLoader, random_split
@@ -238,7 +242,7 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir):
 
     num_param, n_feat = x.shape
     size2, latent_dim = y2.shape[1], y2.shape[2]
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = LatentConditioner(filters_lc, y1.shape[1], n_feat, latent_dim,
                               size2, dropout_rate=0.1)
 
@@ -247,7 +251,7 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir):
     ds = LatentConditionerDataset(x, y1, y2, load_all=True)
     n_train = int(0.7 * num_param)
     tr, va = random_split(ds, [n_train, num_param - n_train],
-                          generator=torch.Generator().manual_seed(0))
+                          generator=torch.Generator().manual_seed(seed))
     dl = DataLoader(tr, batch_size=batch, shuffle=True, drop_last=True)
     vdl = DataLoader(va, batch_size=batch, shuffle=False)
 
@@ -267,7 +271,7 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir):
     return {"main_mse": m1, "hier_mse": m2, "wall_sec": wall}
 
 
-def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc):
+def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, seed=0):
     """Train LCTrainer (jax CPU, standard loss) on the identical data."""
     import jax
 
@@ -283,7 +287,7 @@ def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc):
                         weight_decay=wd, is_image_data=False,
                         loss_mode="standard")
     t0 = time.time()
-    state, _ = trainer.fit(x, y1, y2, jax.random.PRNGKey(0), val_split=0.3)
+    state, _ = trainer.fit(x, y1, y2, jax.random.PRNGKey(seed), val_split=0.3)
     wall = time.time() - t0
     predict = trainer.predict_fn(state)
     p1, p2 = predict(jnp.asarray(x))
@@ -293,25 +297,40 @@ def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc):
 
 
 def stage_lc(args):
+    """Multi-seed LC comparison: at this dataset size (tens of samples) the
+    seed-to-seed spread is comparable to the ref-vs-rebuild gap, so single
+    seeds mislead — compare mean final MSEs over ``--seeds`` runs."""
     x, y1, y2 = make_lc_data(args.params, 4, 32, 8, 3)
     filters_lc = [int(f) for f in args.filters.split(",")]
-    print(f"== reference train_latent_conditioner: {args.epochs} epochs ==",
-          flush=True)
-    ref = run_reference_lc(x, y1, y2, args.epochs, args.batch, args.lr,
-                           1e-4, filters_lc, args.workdir)
-    print(f"reference: main={ref['main_mse']:.3e} hier={ref['hier_mse']:.3e} "
-          f"wall={ref['wall_sec']:.1f}s", flush=True)
-    print(f"== rebuild LCTrainer: {args.epochs} epochs ==", flush=True)
-    ours = run_rebuild_lc(x, y1, y2, args.epochs, args.batch, args.lr,
-                          1e-4, filters_lc)
-    print(f"rebuild:   main={ours['main_mse']:.3e} "
-          f"hier={ours['hier_mse']:.3e} wall={ours['wall_sec']:.1f}s",
-          flush=True)
+    refs, ours = [], []
+    for seed in range(args.seeds):
+        print(f"== seed {seed}: reference train_latent_conditioner "
+              f"({args.epochs} epochs) ==", flush=True)
+        r = run_reference_lc(x, y1, y2, args.epochs, args.batch, args.lr,
+                             1e-4, filters_lc, args.workdir, seed=seed)
+        print(f"reference[{seed}]: main={r['main_mse']:.3e} "
+              f"hier={r['hier_mse']:.3e} wall={r['wall_sec']:.1f}s",
+              flush=True)
+        refs.append(r)
+        print(f"== seed {seed}: rebuild LCTrainer ==", flush=True)
+        o = run_rebuild_lc(x, y1, y2, args.epochs, args.batch, args.lr,
+                           1e-4, filters_lc, seed=seed)
+        print(f"rebuild[{seed}]:   main={o['main_mse']:.3e} "
+              f"hier={o['hier_mse']:.3e} wall={o['wall_sec']:.1f}s",
+              flush=True)
+        ours.append(o)
+
+    def agg(runs):
+        return {k: float(np.mean([r[k] for r in runs])) for k in runs[0]} | {
+            f"{k}_per_seed": [r[k] for r in runs]
+            for k in ("main_mse", "hier_mse")}
+
+    ref, our = agg(refs), agg(ours)
     return {
         "stage": "lc", "config": vars(args),
-        "reference": ref, "rebuild": ours,
-        "main_mse_ratio_rebuild_over_ref": ours["main_mse"] / ref["main_mse"],
-        "hier_mse_ratio_rebuild_over_ref": ours["hier_mse"] / ref["hier_mse"],
+        "reference": ref, "rebuild": our,
+        "main_mse_ratio_rebuild_over_ref": our["main_mse"] / ref["main_mse"],
+        "hier_mse_ratio_rebuild_over_ref": our["hier_mse"] / ref["hier_mse"],
     }
 
 
@@ -546,12 +565,30 @@ def stage_vae(args):
     filters = [int(f) for f in args.filters.split(",")]
     scaled = make_data(args.params, args.time, args.nodes)
 
-    print(f"== torch reference (CPU, f32): {args.epochs} epochs ==",
-          flush=True)
-    ref_mse, ref_kl, ref_hist, ref_wall = run_reference(
-        scaled, args.epochs, args.batch, args.lr, args.alpha, filters,
-        args.workdir,
-    )
+    cache_key = (f"{args.epochs}-{args.params}x{args.time}x{args.nodes}"
+                 f"-b{args.batch}-{args.filters}-a{args.alpha}-lr{args.lr}")
+    cached = None
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        with open(args.ref_cache) as f:
+            blob = json.load(f)
+        if blob.get("key") == cache_key:
+            cached = blob
+            print(f"reference results reused from {args.ref_cache}",
+                  flush=True)
+    if cached is None:
+        print(f"== torch reference (CPU, f32): {args.epochs} epochs ==",
+              flush=True)
+        ref_mse, ref_kl, ref_hist, ref_wall = run_reference(
+            scaled, args.epochs, args.batch, args.lr, args.alpha, filters,
+            args.workdir,
+        )
+        if args.ref_cache:
+            with open(args.ref_cache, "w") as f:
+                json.dump({"key": cache_key, "mse": ref_mse, "kl": ref_kl,
+                           "hist": ref_hist, "wall": ref_wall}, f)
+    else:
+        ref_mse, ref_kl = cached["mse"], cached["kl"]
+        ref_hist, ref_wall = cached["hist"], cached["wall"]
     print(f"reference: recon_mse={ref_mse:.3e} kl={ref_kl:.3f} "
           f"wall={ref_wall:.1f}s", flush=True)
 
@@ -605,6 +642,11 @@ def main():
     ap.add_argument("--platform", type=str, default="cpu",
                     help="(vae stage) rebuild backend: cpu for same-host "
                          "fairness, tpu to measure the benched configuration")
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="(lc stage) runs per side, compared by mean")
+    ap.add_argument("--ref_cache", type=str, default=None,
+                    help="(vae stage) json path caching the reference run "
+                         "so dtype sweeps retrain only the rebuild side")
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--workdir", type=str, default="/tmp/h2h_reference")
     args = ap.parse_args()

@@ -113,6 +113,8 @@ class VAETrainer:
         mesh change after a compile must invalidate the cached traces."""
         self._train_epoch = jax.jit(self._train_epoch_impl,
                                     donate_argnums=self._donate_args)
+        self._train_epochs = jax.jit(self._train_epochs_impl,
+                                     donate_argnums=self._donate_args)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=self._donate_args)
@@ -265,6 +267,18 @@ class VAETrainer:
         new_state = VAETrainState(params=params, opt_state=opt_state,
                                   sn_u=sn_u, epoch=state.epoch + 1)
         return new_state, metrics
+
+    def _train_epochs_impl(self, state: VAETrainState, data: jax.Array,
+                           keys: jax.Array) -> Tuple[VAETrainState, Dict]:
+        """``len(keys)`` epochs in ONE dispatch: ``lax.scan`` over the jitted
+        epoch body.  Identical math to calling ``_train_epoch`` in a Python
+        loop; removes the per-epoch host dispatch (the host round trip costs
+        several ms/epoch on a tunneled backend — docs/PERF.md round 3).
+        Metrics come back stacked per-epoch ``[E]``."""
+        def epoch_body(st, k):
+            return self._train_epoch_impl(st, data, k)
+
+        return jax.lax.scan(epoch_body, state, keys)
 
     def _train_step_impl(self, state: VAETrainState, batch: jax.Array,
                          partner: jax.Array, key: jax.Array
