@@ -1,0 +1,178 @@
+"""Fused batch-assembly kernel: row gather + mixup + noise in one HBM pass.
+
+Motivation (docs/PERF.md round 3): the jitted train step assembles each
+batch with two 16-row gathers from the HBM-resident dataset
+(``jnp.take(data, idx)`` for the batch, another for the mixup partner —
+``vae_trainer.py``) followed by the elementwise augmentation
+(``data/augmentation.py``).  XLA lowers this as gather kernels feeding a
+fusion; the round-2 trace put the gathers at ~107-214 GB/s effective —
+far off the v5e HBM roofline — because the fused gather degenerates to
+per-element index arithmetic instead of bulk row DMAs.
+
+This Pallas kernel does the whole assembly in ONE pass at the DMA rate:
+for each (sample, node-tile) grid cell it DMAs the batch row tile and the
+partner row tile (row indices via scalar prefetch), generates the
+Gaussian noise in-register (on-core PRNG + Box-Muller — the noise array
+never touches HBM), applies noise -> amplitude scale -> mixup, and writes
+the finished tile.  Traffic is the information-theoretic floor: read
+batch rows + read partner rows + write output.
+
+Reference behavior being reproduced (composition order and semantics):
+``/root/reference/modules/augmentation.py:43-139`` — Gaussian noise
+(p=.5, sigma=.05), amplitude scaling (p=.5, U[0.9,1.1]), mixup (p=.5,
+Beta(.2,.2) clamped to [.1,.9], partner drawn from the whole dataset).
+Per-sample Bernoulli draws and mixup/scale coefficients are folded into
+three effective per-sample scalars computed by the caller with the
+normal jax PRNG (tiny, [batch]-shaped):
+
+  ``x   = (row + n * noise_sd[i]) * amp[i]``        (n ~ N(0,1) in-kernel)
+  ``out = lam[i] * x + (1 - lam[i]) * partner_row``
+
+with ``noise_sd[i] in {0, level}``, ``amp[i] in {1, U[lo,hi]}``,
+``lam[i] in {1, clip(Beta, .1, .9)}`` — exactly the distributions of the
+sequential composition in ``augment_batch``.
+
+The only stochastic element inside the kernel is the per-element standard
+normal, generated from ``pltpu.prng_random_bits`` via Box-Muller.  Its
+stream differs from ``jax.random.normal`` (as the RBG fast-path already
+does in the trainer); distribution tests cover it
+(``tests/test_gather_augment.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+
+
+def _kernel(idx_ref, pidx_ref, seed_ref, lam_ref, amp_ref, sd_ref,
+            row_ref, partner_ref, out_ref, *, with_noise: bool):
+    i = pl.program_id(0)
+
+    x = row_ref[0].astype(jnp.float32)        # (T, tile_n)
+    p = partner_ref[0].astype(jnp.float32)
+
+    sd = sd_ref[i]
+    amp = amp_ref[i]
+    lam = lam_ref[i]
+
+    if with_noise:
+        # Unique PRNG stream per grid cell; seed_ref[0] varies per call.
+        # (prng_seed has no CPU interpret lowering, hence the static gate —
+        # deterministic math is CPU-tested, the noise path TPU-probed.)
+        j = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+        # Box-Muller standard normal from two uniform draws.  u1 in (0,1]
+        # (never 0, so the log is finite); u2 in [0,1).
+        b1 = pltpu.prng_random_bits(x.shape)
+        b2 = pltpu.prng_random_bits(x.shape)
+        # uint32 -> f32 has no Mosaic cast; shift to 24 bits (always
+        # non-negative) and go through int32.
+        u1 = pltpu.bitcast(pltpu.bitcast(b1, jnp.uint32) >> 8,
+                           jnp.int32).astype(jnp.float32)
+        u2 = pltpu.bitcast(pltpu.bitcast(b2, jnp.uint32) >> 8,
+                           jnp.int32).astype(jnp.float32)
+        inv = jnp.float32(1.0 / (1 << 24))
+        u1 = (u1 + 1.0) * inv
+        u2 = u2 * inv
+        n = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(_TWO_PI) * u2)
+        x = x + n * sd
+
+    out = lam * (x * amp) + (1.0 - lam) * p
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "interpret", "with_noise"))
+def gather_augment(data: jax.Array, idx: jax.Array, pidx: jax.Array,
+                   seed: jax.Array, lam_eff: jax.Array, amp: jax.Array,
+                   noise_sd: jax.Array, *, tile_n: int = 2048,
+                   interpret: bool = False,
+                   with_noise: bool = True) -> jax.Array:
+    """Gather ``data[idx]`` and ``data[pidx]`` and fuse the augmentation.
+
+    Args:
+      data: ``[n, T, N]`` device-resident dataset (any float dtype).
+      idx: ``[b]`` int32 batch row indices.
+      pidx: ``[b]`` int32 mixup-partner row indices.
+      seed: int32 scalar; per-call PRNG seed for the in-kernel noise.
+      lam_eff: ``[b]`` f32 mixup weights (1.0 = no mixup for that sample).
+      amp: ``[b]`` f32 amplitude scales (1.0 = no scaling).
+      noise_sd: ``[b]`` f32 noise stddevs (0.0 = no noise).
+
+    Returns:
+      ``[b, T, N]`` augmented batch, ``data.dtype``.
+    """
+    n, t, nodes = data.shape
+    b = idx.shape[0]
+    grid = (b, pl.cdiv(nodes, tile_n))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, tile_n),
+                         lambda i, j, idx, pidx, *_: (idx[i], 0, j)),
+            pl.BlockSpec((1, t, tile_n),
+                         lambda i, j, idx, pidx, *_: (pidx[i], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, t, tile_n),
+                               lambda i, j, *_: (i, 0, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, with_noise=with_noise),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, nodes), data.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), pidx.astype(jnp.int32),
+      jnp.asarray(seed, jnp.int32).reshape(1),
+      lam_eff.astype(jnp.float32), amp.astype(jnp.float32),
+      noise_sd.astype(jnp.float32), data, data)
+
+
+def draw_augment_scalars(key: jax.Array, b: int,
+                         noise_prob: float = 0.5, noise_level: float = 0.05,
+                         scaling_prob: float = 0.5,
+                         scaling_range: Tuple[float, float] = (0.9, 1.1),
+                         mixup_prob: float = 0.5, mixup_alpha: float = 0.2,
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-sample effective scalars matching ``augment_batch``'s draws.
+
+    Returns ``(lam_eff, amp, noise_sd)``, each ``[b]`` f32, with exactly
+    the distributions of the sequential composition in
+    ``data/augmentation.py`` (reference ``modules/augmentation.py:43-139``).
+    """
+    k_np, k_sp, k_s, k_mp, k_m = jax.random.split(key, 5)
+    noise_on = jax.random.uniform(k_np, (b,)) < noise_prob
+    noise_sd = jnp.where(noise_on, noise_level, 0.0).astype(jnp.float32)
+
+    lo, hi = scaling_range
+    scale = jax.random.uniform(k_s, (b,), jnp.float32, lo, hi)
+    scale_on = jax.random.uniform(k_sp, (b,)) < scaling_prob
+    amp = jnp.where(scale_on, scale, 1.0)
+
+    lam = jnp.clip(jax.random.beta(k_m, mixup_alpha, mixup_alpha, (b,)),
+                   0.1, 0.9).astype(jnp.float32)
+    mix_on = jax.random.uniform(k_mp, (b,)) < mixup_prob
+    lam_eff = jnp.where(mix_on, lam, 1.0)
+    return lam_eff, amp, noise_sd
+
+
+def gather_augment_reference(data, idx, pidx, normal_noise, lam_eff, amp,
+                             noise_sd):
+    """jnp composition oracle (same math, externally supplied noise)."""
+    x = jnp.take(data, idx, axis=0).astype(jnp.float32)
+    p = jnp.take(data, pidx, axis=0).astype(jnp.float32)
+    sd = noise_sd[:, None, None]
+    a = amp[:, None, None]
+    lam = lam_eff[:, None, None]
+    out = lam * ((x + normal_noise * sd) * a) + (1.0 - lam) * p
+    return out.astype(data.dtype)

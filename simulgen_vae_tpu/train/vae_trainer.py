@@ -16,9 +16,11 @@ TPU-first redesign of the reference train loop (``modules/train.py:50-256``):
 
 Semantics preserved: loss = alpha*recon + beta*sum(KL terms); per-epoch
 validation cadence; 80/20 split; on-the-fly augmentation with mixup partners
-drawn from the full training set.  One deliberate difference: batches are
-``drop_last`` (static shapes for scan) — the reference keeps ragged final
-batches.
+drawn from the full training set; full per-epoch sample coverage (the
+reference's train DataLoader has no ``drop_last`` — augmentation.py:226-232).
+Ragged final batches become a wrap-padded full batch (static shapes for
+scan): the same samples train each epoch, a few appearing twice in the last
+batch instead of the reference's smaller ragged batch.
 """
 
 from __future__ import annotations
@@ -67,7 +69,8 @@ class VAETrainer:
                  aug: AugmentationConfig = AugmentationConfig(),
                  use_spectral_norm: Optional[bool] = None,
                  donate: bool = True, fast_rng: bool = False,
-                 fused_readout: Optional[bool] = None):
+                 fused_readout: Optional[bool] = None,
+                 fused_aug: Optional[bool] = None):
         self.cfg = cfg
         self.aug = aug
         # Fused Pallas readout+loss train path (ops/readout_chain.py).
@@ -78,6 +81,12 @@ class VAETrainer:
         # a mesh either way (no GSPMD partitioning rule for the
         # pallas_call; a shard_map wrapper would be needed).
         self._fused_readout_opt = fused_readout
+        # Fused Pallas batch assembly (ops/gather_augment.py): row gather +
+        # mixup + in-register noise in one HBM pass, replacing the two
+        # jnp.take gathers + elementwise augmentation.  Only covers the
+        # default augmentation set (shift/cutout disabled, like the
+        # reference); requires the device-resident (non-streaming) path.
+        self._fused_aug_opt = fused_aug
         # fast_rng: rekey each epoch onto the RBG generator — much cheaper
         # bulk random bits on TPU than threefry (augmentation draws ~300M
         # values/step at flagship scale), at the cost of partition-dependent
@@ -148,11 +157,8 @@ class VAETrainer:
             return params, sn_u
         # bf16 runs: normalize in bf16 (the model casts weights anyway) —
         # halves SN's HBM traffic on the ~300M-param kernel set.
-        compute_dtype = (jnp.bfloat16
-                         if jnp.dtype(self.cfg.dtype) == jnp.bfloat16
-                         else None)
         return spectral_normalize(params, sn_u, update=update,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=self._sn_compute_dtype())
 
     def _rekey(self, key):
         if not self.fast_rng:
@@ -179,6 +185,13 @@ class VAETrainer:
         )
 
     def _sn_compute_dtype(self):
+        """SN power-iteration dtype.  bf16 halves SN's HBM traffic, but the
+        iteration is a feedback loop (u vectors persist across steps) —
+        SIMULGEN_SN_F32=1 forces f32 to probe bf16-SN's quality impact."""
+        import os
+
+        if os.environ.get("SIMULGEN_SN_F32", "0") in ("1", "true"):
+            return None
         return (jnp.bfloat16
                 if jnp.dtype(self.cfg.dtype) == jnp.bfloat16 else None)
 
@@ -190,6 +203,35 @@ class VAETrainer:
         return (os.environ.get("SIMULGEN_FUSED_READOUT", "0")
                 in ("1", "true")
                 and jax.default_backend() == "tpu" and self.mesh is None)
+
+    def _use_fused_aug(self) -> bool:
+        import os
+
+        eligible = (self.mesh is None and self.aug.enabled
+                    and self.aug.shift_prob == 0
+                    and self.aug.cutout_prob == 0)
+        if self._fused_aug_opt is not None:
+            return self._fused_aug_opt and eligible
+        return (os.environ.get("SIMULGEN_FUSED_AUG", "0") in ("1", "true")
+                and jax.default_backend() == "tpu" and eligible)
+
+    def _gather_augment_fused(self, data, idx, partner_idx, key):
+        """One-HBM-pass batch assembly (ops/gather_augment.py)."""
+        from simulgen_vae_tpu.ops.gather_augment import (
+            draw_augment_scalars,
+            gather_augment,
+        )
+
+        k_scal, k_seed = jax.random.split(key)
+        lam_eff, amp, noise_sd = draw_augment_scalars(
+            k_scal, idx.shape[0],
+            noise_prob=self.aug.noise_prob, noise_level=self.aug.noise_level,
+            scaling_prob=self.aug.scaling_prob,
+            scaling_range=self.aug.scaling_range,
+            mixup_prob=self.aug.mixup_prob, mixup_alpha=self.aug.mixup_alpha)
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+        return gather_augment(data, idx, partner_idx, seed, lam_eff, amp,
+                              noise_sd)
 
     def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
         # Spectral norm WITHOUT materializing W/sigma: compute per-kernel
@@ -225,7 +267,15 @@ class VAETrainer:
         cfg = self.cfg
         n = data.shape[0]
         bsz = min(cfg.batch_size, n)
-        num_batches = max(n // bsz, 1)
+        # Cover EVERY sample each epoch like the reference (its train
+        # DataLoader has no drop_last — augmentation.py:226-232): take
+        # ceil(n/bsz) static-shape batches, wrapping the permutation into
+        # the final batch.  A few samples repeat in that batch instead of
+        # the reference's ragged small batch — static shapes for scan,
+        # same per-epoch coverage.  (Dropping the remainder cost 3.7x
+        # final MSE at 26-sample scale — docs/PARITY.md round 3.)
+        num_batches = max(-(-n // bsz), 1)
+        pad = num_batches * bsz - n
 
         beta = beta_schedule(state.epoch, cfg.n_epochs)
         lr = cosine_warm_restarts(state.epoch, cfg.lr,
@@ -234,18 +284,26 @@ class VAETrainer:
 
         k_perm, key = jax.random.split(key)
         k_scan = self._rekey(key)
-        perm = jax.random.permutation(k_perm, n)[: num_batches * bsz]
+        perm = jax.random.permutation(k_perm, n)
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
         perm = perm.reshape(num_batches, bsz)
+
+        fused_aug = self._use_fused_aug()
 
         def step(carry, idx):
             params, opt_state, sn_u = carry
             k = jax.random.fold_in(k_scan, idx[0])
             k_aug, k_partner, k_model = jax.random.split(k, 3)
 
-            batch = jnp.take(data, idx, axis=0)
             partner_idx = jax.random.randint(k_partner, (bsz,), 0, n)
-            partner = jnp.take(data, partner_idx, axis=0)
-            batch = augment_batch(k_aug, batch, partner, self.aug)
+            if fused_aug:
+                batch = self._gather_augment_fused(data, idx, partner_idx,
+                                                   k_aug)
+            else:
+                batch = jnp.take(data, idx, axis=0)
+                partner = jnp.take(data, partner_idx, axis=0)
+                batch = augment_batch(k_aug, batch, partner, self.aug)
             batch = self._constrain_batch(batch)
 
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
@@ -395,9 +453,13 @@ class VAETrainer:
         cfg = self.cfg
         n = data.shape[0]
         bsz = min(cfg.batch_size, n)
-        num_batches = max(n // bsz, 1)
+        # Wrap-pad like the train epoch: the reference's val loader has no
+        # drop_last either, so cover all val samples (repeats in the final
+        # batch bias the mean by <= (bsz-1)/n of one batch's weight).
+        num_batches = max(-(-n // bsz), 1)
         beta = beta_schedule(state.epoch, cfg.n_epochs)
-        idx = jnp.arange(num_batches * bsz).reshape(num_batches, bsz)
+        idx = jnp.arange(num_batches * bsz) % n
+        idx = idx.reshape(num_batches, bsz)
 
         def step(_, batch_idx):
             k = jax.random.fold_in(key, batch_idx[0])
