@@ -212,7 +212,12 @@ class VAETrainer:
                     and self.aug.cutout_prob == 0)
         if self._fused_aug_opt is not None:
             return self._fused_aug_opt and eligible
-        return (os.environ.get("SIMULGEN_FUSED_AUG", "0") in ("1", "true")
+        # Default ON for single-chip TPU: hardware-measured +11% step
+        # throughput at flagship geometry (178.4 -> 198.0 samples/s,
+        # docs/PERF.md round 3).  SIMULGEN_FUSED_AUG=0 forces the XLA
+        # gather+augment chain; mesh runs keep XLA (no GSPMD partitioning
+        # rule for the pallas_call).
+        return (os.environ.get("SIMULGEN_FUSED_AUG", "1") in ("1", "true")
                 and jax.default_backend() == "tpu" and eligible)
 
     def _gather_augment_fused(self, data, idx, partner_idx, key):
