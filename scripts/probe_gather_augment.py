@@ -113,6 +113,20 @@ def main():
     t_xla = timed(xla_chain, (data, idx, pidx, key))
     t_fused = timed(fused, (data, idx, pidx, jnp.int32(9)))
 
+    if "--tiles" in sys.argv:
+        # tile_n sweep: bigger tiles amortize DMA setup per grid cell but
+        # eat VMEM ((1,T,tile) x 2 inputs + out, double-buffered).
+        for tile in (1024, 2048, 4096, 8192, 11876):
+            try:
+                f = jax.jit(lambda d, i_, p_, s, _t=tile: gather_augment(
+                    d, i_, p_, s, lam, amp, sd, tile_n=_t))
+                ms = timed(f, (data, idx, pidx, jnp.int32(9)))
+                print(f"  tile_n={tile:5d}: {ms:7.2f} ms "
+                      f"({3 * batch_bytes / (ms * 1e-3) / 1e9:6.1f} GB/s)",
+                      flush=True)
+            except Exception as e:
+                print(f"  tile_n={tile:5d}: FAIL {str(e)[:120]}", flush=True)
+
     def bw(ms, bytes_moved):
         return bytes_moved / (ms * 1e-3) / 1e9
 
