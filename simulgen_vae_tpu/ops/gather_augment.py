@@ -65,26 +65,41 @@ def _kernel(idx_ref, pidx_ref, seed_ref, lam_ref, amp_ref, sd_ref,
     lam = lam_ref[i]
 
     if with_noise:
-        # Unique PRNG stream per grid cell; seed_ref[0] varies per call.
-        # (prng_seed has no CPU interpret lowering, hence the static gate —
-        # deterministic math is CPU-tested, the noise path TPU-probed.)
-        j = pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
-        # Box-Muller standard normal from two uniform draws.  u1 in (0,1]
-        # (never 0, so the log is finite); u2 in [0,1).
-        b1 = pltpu.prng_random_bits(x.shape)
-        b2 = pltpu.prng_random_bits(x.shape)
-        # uint32 -> f32 has no Mosaic cast; shift to 24 bits (always
-        # non-negative) and go through int32.
-        u1 = pltpu.bitcast(pltpu.bitcast(b1, jnp.uint32) >> 8,
-                           jnp.int32).astype(jnp.float32)
-        u2 = pltpu.bitcast(pltpu.bitcast(b2, jnp.uint32) >> 8,
-                           jnp.int32).astype(jnp.float32)
-        inv = jnp.float32(1.0 / (1 << 24))
-        u1 = (u1 + 1.0) * inv
-        u2 = u2 * inv
-        n = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(_TWO_PI) * u2)
-        x = x + n * sd
+        # The noise path is the kernel's VPU cost (round-3 probe: the
+        # transcendentals, not the DMAs, bound the original version at
+        # ~12.4 ms).  Two measures: (a) Box-Muller's sin AND cos halves
+        # the log/sqrt count — draw uniforms for half the tile, emit
+        # (r·cos, r·sin); (b) the whole block is skipped via lax.cond for
+        # the ~half of samples whose per-sample noise draw is off
+        # (sd == 0), so its expected cost halves again.
+        def _add_noise(v):
+            # Unique PRNG stream per grid cell; seed_ref[0] varies per
+            # call.  (prng_seed has no CPU interpret lowering, hence the
+            # static with_noise gate — deterministic math is CPU-tested,
+            # the noise path TPU-probed.)
+            j = pl.program_id(1)
+            pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+            half = (v.shape[1] // 2 + 127) // 128 * 128
+            shape = (v.shape[0], half)
+            b1 = pltpu.prng_random_bits(shape)
+            b2 = pltpu.prng_random_bits(shape)
+            # uint32 -> f32 has no Mosaic cast; shift to 24 bits (always
+            # non-negative) and go through int32.  u1 in (0,1] (log
+            # finite); u2 in [0,1).
+            u1 = pltpu.bitcast(pltpu.bitcast(b1, jnp.uint32) >> 8,
+                               jnp.int32).astype(jnp.float32)
+            u2 = pltpu.bitcast(pltpu.bitcast(b2, jnp.uint32) >> 8,
+                               jnp.int32).astype(jnp.float32)
+            inv = jnp.float32(1.0 / (1 << 24))
+            u1 = (u1 + 1.0) * inv
+            u2 = u2 * inv
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            th = jnp.float32(_TWO_PI) * u2
+            n = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)],
+                                axis=1)[:, : v.shape[1]]
+            return v + n * sd
+
+        x = jax.lax.cond(sd > 0.0, _add_noise, lambda v: v, x)
 
     out = lam * (x * amp) + (1.0 - lam) * p
     out_ref[0] = out.astype(out_ref.dtype)
