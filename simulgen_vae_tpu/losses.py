@@ -86,6 +86,79 @@ def get_recon_loss(name: str):
     return RECON_LOSSES[name]
 
 
+# -- low-residual reconstruction loss pair ----------------------------------
+#
+# The train step computes the configured-flavor recon loss AND the always-on
+# MSE monitor (reference VAE_network.py:79-117) on f32-converted copies of a
+# [B, T, nodes] pair.  Under autodiff, XLA saves the f32-converted
+# reconstruction as a residual for the backward — at flagship geometry that
+# is a 1.22 GB f32 HBM write in the forward plus the re-read in the backward
+# (~3.6 ms/step each at the measured ~340 GB/s floor; see docs/PERF.md,
+# round-3 trace: `convert_reduce_fusion.79` emitted f32[16,200,95008]).
+#
+# `make_recon_loss_pair(name)` computes the identical f32 math but with a
+# custom VJP whose residuals are the ORIGINAL low-precision tensors; the
+# backward recomputes the convert on the fly (free inside the fusion) and
+# emits the elementwise gradient directly in the input dtype — exactly the
+# cotangent autodiff would produce (convert_element_type's transpose casts
+# back to the primal dtype).
+
+def _abs_grad(d):
+    # lax.abs's JVP convention (+1 at d == 0), so the custom backward is
+    # bit-identical to what autodiff of the naive path produced.
+    return jnp.where(d >= 0, 1.0, -1.0)
+
+
+def _recon_grad_fn(name: str):
+    """Elementwise dLoss/dpred (f32, pre-mean-scaling) for each flavor."""
+    if name == "MSE":
+        return lambda d: 2.0 * d
+    if name == "MAE":
+        return _abs_grad
+    if name in ("smoothL1", "SmoothL1"):
+        beta = 1.0 if name == "smoothL1" else 0.1
+        return lambda d: jnp.where(jnp.abs(d) < beta, d / beta, _abs_grad(d))
+    if name in ("Huber", "Huber0.1"):
+        delta = 1.0 if name == "Huber" else 0.1
+        return lambda d: jnp.where(jnp.abs(d) < delta, d, delta * _abs_grad(d))
+    raise KeyError(f"Unknown loss '{name}'; options: {sorted(RECON_LOSSES)}")
+
+
+_RECON_PAIR_CACHE: dict = {}
+
+
+def make_recon_loss_pair(name: str):
+    """Return ``f(pred, target) -> (recon_loss, recon_loss_mse)`` with f32
+    math and low-precision-only VJP residuals (no f32 tensor materialized)."""
+    if name in _RECON_PAIR_CACHE:
+        return _RECON_PAIR_CACHE[name]
+
+    flavor = get_recon_loss(name)
+    dflavor = _recon_grad_fn(name)
+
+    @jax.custom_vjp
+    def pair(pred, target):
+        p32 = pred.astype(jnp.float32)
+        t32 = target.astype(jnp.float32)
+        return flavor(p32, t32), mse_loss(p32, t32)
+
+    def pair_fwd(pred, target):
+        return pair(pred, target), (pred, target)
+
+    def pair_bwd(res, gs):
+        pred, target = res
+        g_flavor, g_mse = gs
+        d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        inv_n = 1.0 / d.size
+        gp32 = inv_n * (g_flavor * dflavor(d) + g_mse * (2.0 * d))
+        gp = gp32.astype(pred.dtype)
+        return gp, (-gp32).astype(target.dtype)
+
+    pair.defvjp(pair_fwd, pair_bwd)
+    _RECON_PAIR_CACHE[name] = pair
+    return pair
+
+
 # -- KL warmup -------------------------------------------------------------
 
 def beta_schedule(epoch, n_epochs: int, init_beta: float = 1e-4,

@@ -18,7 +18,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from simulgen_vae_tpu.losses import get_recon_loss, kl, mse_loss
+from simulgen_vae_tpu.losses import kl, make_recon_loss_pair
 from simulgen_vae_tpu.models.decoder import Decoder, reparameterize
 from simulgen_vae_tpu.models.encoder import Encoder
 
@@ -62,10 +62,11 @@ class VAE(nn.Module):
             x_hat = None
         else:
             x_hat, kl_losses, _ = self.decoder(z, xs)
-            x32 = x.astype(jnp.float32)
-            xh32 = x_hat.astype(jnp.float32)
-            recon_loss = get_recon_loss(self.lossfun)(xh32, x32)
-            recon_loss_mse = mse_loss(xh32, x32)
+            # f32 loss math with low-precision-only VJP residuals: avoids
+            # the 1.22 GB f32 x_hat residual XLA otherwise saves for the
+            # backward at flagship geometry (losses.make_recon_loss_pair).
+            recon_loss, recon_loss_mse = make_recon_loss_pair(self.lossfun)(
+                x_hat, x)
         kl_loss = kl(mu.astype(jnp.float32), log_var.astype(jnp.float32))
 
         return x_hat, recon_loss, [kl_loss] + list(kl_losses), recon_loss_mse

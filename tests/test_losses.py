@@ -115,3 +115,42 @@ def test_enhanced_loss_blend():
         tp2.reshape(-1, 8), tt2.reshape(-1, 8), dim=1).mean()
     ref_p = ((1 - cos1) + (1 - cos2)).item() * 0.1
     np.testing.assert_allclose(perc, ref_p, rtol=1e-4)
+
+
+def test_recon_loss_pair_matches_naive_values_and_grads():
+    """make_recon_loss_pair must be value- and gradient-identical to the
+    naive convert-then-reduce path it replaces (vae.py forward), for every
+    flavor, in f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simulgen_vae_tpu.losses import (RECON_LOSSES, get_recon_loss,
+                                         make_recon_loss_pair, mse_loss)
+
+    rng = np.random.default_rng(0)
+    pred_np = rng.standard_normal((4, 7, 33)).astype(np.float32)
+    targ_np = rng.standard_normal((4, 7, 33)).astype(np.float32)
+
+    for name in RECON_LOSSES:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            pred = jnp.asarray(pred_np, dtype)
+            targ = jnp.asarray(targ_np, dtype)
+
+            def naive(p, t):
+                p32, t32 = p.astype(jnp.float32), t.astype(jnp.float32)
+                return (get_recon_loss(name)(p32, t32)
+                        + 0.7 * mse_loss(p32, t32))
+
+            def fused(p, t):
+                a, b = make_recon_loss_pair(name)(p, t)
+                return a + 0.7 * b
+
+            v0, g0 = jax.value_and_grad(naive)(pred, targ)
+            v1, g1 = jax.value_and_grad(fused)(pred, targ)
+            assert g1.dtype == pred.dtype
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                       rtol=1e-6, atol=0, err_msg=name)
+            np.testing.assert_allclose(
+                np.asarray(g0, np.float32), np.asarray(g1, np.float32),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}/{dtype}")
