@@ -44,6 +44,7 @@ def test_fit_checkpoints_and_resumes(tmp_path):
     mngr.close()
 
 
+@pytest.mark.slow
 def test_fit_zero_epochs_is_noop(tmp_path):
     data = synthetic_dataset(8, 10, 16, seed=1)
     scaled, _, _ = data_scaler(data, 10, 16, save_path=None)

@@ -29,6 +29,7 @@ def test_streaming_matches_training_quality():
     assert "beta" in hist and "lr" in hist
 
 
+@pytest.mark.slow
 def test_streaming_step_equals_scan_step_math():
     """One streaming step from the same state/key/batch matches the epoch
     scan's first step (identical loss math)."""
