@@ -153,6 +153,80 @@ def gather_augment(data: jax.Array, idx: jax.Array, pidx: jax.Array,
       noise_sd.astype(jnp.float32), data, data)
 
 
+def gather_augment_sharded(mesh, data: jax.Array, idx: jax.Array,
+                           pidx: jax.Array, seed: jax.Array,
+                           lam_eff: jax.Array, amp: jax.Array,
+                           noise_sd: jax.Array, *, tile_n: int = 2048,
+                           interpret: bool = False,
+                           with_noise: bool = True) -> jax.Array:
+    """Mesh-parallel fused assembly: :func:`gather_augment` under shard_map.
+
+    ``pl.pallas_call`` has no GSPMD partitioning rule, so mesh runs fell
+    back to the XLA gather+augment chain (docs/PERF.md round 3).  This
+    wrapper recovers the fused path on a ``(data, model)`` mesh by running
+    the kernel per-device under ``jax.shard_map``:
+
+    * ``data`` must be laid out ``P(None, None, "model")`` — sample rows
+      REPLICATED across the data axis, nodes sharded over ``model``.  That
+      is the layout the row-gather needs (any device may draw any sample as
+      batch row or mixup partner); node-sharding keeps the per-device
+      working set at ``1/model_axis``.  It costs ``data_axis``× dataset HBM
+      vs the row-sharded resident layout — callers with datasets too big
+      for that use the streaming path instead (``train_epoch_streaming``).
+    * ``idx``/``pidx`` and the per-sample scalars shard over ``data``: each
+      data-group assembles only its sub-batch.
+    * output lands ``P("data", None, "model")`` — exactly the activation
+      sharding the train step wants (``parallel/sharding.batch_sharding``),
+      so no reshard follows.
+
+    Per-device noise streams are decorrelated by folding the device's mesh
+    coordinates into the seed (the in-kernel stream already varies per
+    grid cell).  Requires ``b % data_axis == 0`` and
+    ``nodes % model_axis == 0``; callers fall back to XLA otherwise.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    d_ax, m_ax = mesh.shape["data"], mesh.shape["model"]
+    b = idx.shape[0]
+    nodes = data.shape[-1]
+    if b % d_ax or nodes % m_ax:
+        raise ValueError(
+            f"gather_augment_sharded needs b%data==0 and nodes%model==0, "
+            f"got b={b}, nodes={nodes}, mesh={dict(mesh.shape)}")
+    local_tile = min(tile_n, nodes // m_ax)
+
+    def body(data_l, idx_l, pidx_l, seed_l, lam_l, amp_l, sd_l):
+        di = jax.lax.axis_index("data")
+        mi = jax.lax.axis_index("model")
+        # Large odd stride keeps per-device seed blocks disjoint from the
+        # per-grid-cell offsets added inside the kernel.
+        seed_dev = seed_l + (di * m_ax + mi) * jnp.int32(0x9E3779B)
+        return gather_augment(data_l, idx_l, pidx_l, seed_dev, lam_l,
+                              amp_l, sd_l, tile_n=local_tile,
+                              interpret=interpret, with_noise=with_noise)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, "model"), P("data"), P("data"), P(),
+                  P("data"), P("data"), P("data")),
+        out_specs=P("data", None, "model"),
+        check_vma=False,
+    )
+    return fn(data, idx.astype(jnp.int32), pidx.astype(jnp.int32),
+              jnp.asarray(seed, jnp.int32), lam_eff.astype(jnp.float32),
+              amp.astype(jnp.float32), noise_sd.astype(jnp.float32))
+
+
+def dataset_replicated_rows_sharding(mesh, shape=None):
+    """Sharding for a resident dataset feeding :func:`gather_augment_sharded`:
+    rows replicated over ``data``, nodes over ``model`` (see its docstring).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    node_ok = shape is None or shape[-1] % mesh.shape["model"] == 0
+    return NamedSharding(mesh, P(None, None, "model" if node_ok else None))
+
+
 def draw_augment_scalars(key: jax.Array, b: int,
                          noise_prob: float = 0.5, noise_level: float = 0.05,
                          scaling_prob: float = 0.5,

@@ -204,19 +204,37 @@ class VAETrainer:
                 in ("1", "true")
                 and jax.default_backend() == "tpu" and self.mesh is None)
 
-    def _use_fused_aug(self) -> bool:
+    def _use_fused_aug(self, bsz: Optional[int] = None) -> bool:
         import os
 
-        eligible = (self.mesh is None and self.aug.enabled
+        eligible = (self.aug.enabled
                     and self.aug.shift_prob == 0
                     and self.aug.cutout_prob == 0)
+        if self.mesh is not None:
+            # Mesh path: the kernel runs per-device under jax.shard_map
+            # (ops/gather_augment.gather_augment_sharded), which needs the
+            # replicated-rows dataset layout fit() applies when this is on,
+            # plus even divisibility.  OPT-IN (SIMULGEN_FUSED_AUG_MESH=1 or
+            # fused_aug=True): correctness is virtual-mesh tested, but no
+            # multi-chip hardware exists in this environment to measure it,
+            # so XLA stays the mesh default.  The in-kernel noise path has
+            # no CPU interpret lowering — off-TPU the fused mesh path is
+            # only taken when the noise augment is disabled.
+            noise_ok = (jax.default_backend() == "tpu"
+                        or self.aug.noise_prob == 0)
+            div_ok = (self.cfg.num_node % self.mesh.shape["model"] == 0
+                      and (bsz is None
+                           or bsz % self.mesh.shape["data"] == 0))
+            if self._fused_aug_opt is not None:
+                return self._fused_aug_opt and eligible and noise_ok and div_ok
+            return (os.environ.get("SIMULGEN_FUSED_AUG_MESH", "0")
+                    in ("1", "true") and eligible and noise_ok and div_ok)
         if self._fused_aug_opt is not None:
             return self._fused_aug_opt and eligible
         # Default ON for single-chip TPU: hardware-measured +11% step
         # throughput at flagship geometry (178.4 -> 198.0 samples/s,
         # docs/PERF.md round 3).  SIMULGEN_FUSED_AUG=0 forces the XLA
-        # gather+augment chain; mesh runs keep XLA (no GSPMD partitioning
-        # rule for the pallas_call).
+        # gather+augment chain.
         return (os.environ.get("SIMULGEN_FUSED_AUG", "1") in ("1", "true")
                 and jax.default_backend() == "tpu" and eligible)
 
@@ -225,6 +243,7 @@ class VAETrainer:
         from simulgen_vae_tpu.ops.gather_augment import (
             draw_augment_scalars,
             gather_augment,
+            gather_augment_sharded,
         )
 
         k_scal, k_seed = jax.random.split(key)
@@ -235,6 +254,11 @@ class VAETrainer:
             scaling_range=self.aug.scaling_range,
             mixup_prob=self.aug.mixup_prob, mixup_alpha=self.aug.mixup_alpha)
         seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+        if self.mesh is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            return gather_augment_sharded(
+                self.mesh, data, idx, partner_idx, seed, lam_eff, amp,
+                noise_sd, interpret=not on_tpu, with_noise=on_tpu)
         return gather_augment(data, idx, partner_idx, seed, lam_eff, amp,
                               noise_sd)
 
@@ -294,7 +318,7 @@ class VAETrainer:
             perm = jnp.concatenate([perm, perm[:pad]])
         perm = perm.reshape(num_batches, bsz)
 
-        fused_aug = self._use_fused_aug()
+        fused_aug = self._use_fused_aug(bsz)
 
         def step(carry, idx):
             params, opt_state, sn_u = carry
@@ -530,7 +554,21 @@ class VAETrainer:
             state = shard_state(state, mesh, cfg.num_node)
             data_val = shard_batch(data_val, mesh)
             if not stream:
-                data_train = shard_batch(data_train, mesh)
+                bsz = min(cfg.batch_size, data_train.shape[0])
+                if self._use_fused_aug(bsz):
+                    # Fused mesh assembly gathers rows per-device under
+                    # shard_map: rows must be replicated over the data axis
+                    # (see ops/gather_augment.gather_augment_sharded).
+                    from simulgen_vae_tpu.ops.gather_augment import (
+                        dataset_replicated_rows_sharding,
+                    )
+
+                    data_train = jax.device_put(
+                        data_train,
+                        dataset_replicated_rows_sharding(
+                            mesh, data_train.shape))
+                else:
+                    data_train = shard_batch(data_train, mesh)
 
         history: Dict[str, list] = {}
         val_metrics = {"loss": 0.0, "recon": 0.0}

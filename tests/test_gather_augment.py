@@ -107,3 +107,82 @@ def test_draw_augment_scalars_distributions():
     # Beta(.2,.2) clamped is bimodal at the clamp points
     assert (l == np.float32(0.1)).mean() > 0.2
     assert (l == np.float32(0.9)).mean() > 0.2
+
+
+# -- mesh (shard_map) variant ------------------------------------------------
+
+
+def _mesh_2x4():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    return Mesh(np.array(devs[:8]).reshape(2, 4), ("data", "model"))
+
+
+def test_sharded_matches_oracle():
+    """shard_map wrapper == jnp oracle on a 2x4 mesh (deterministic path);
+    output already carries the train step's batch sharding."""
+    from simulgen_vae_tpu.ops.gather_augment import (
+        dataset_replicated_rows_sharding,
+        gather_augment_sharded,
+    )
+
+    mesh = _mesh_2x4()
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((10, 12, 512)).astype(np.float32))
+    data = jax.device_put(data,
+                          dataset_replicated_rows_sharding(mesh, data.shape))
+    idx = jnp.asarray(rng.integers(0, 10, 8), jnp.int32)
+    pidx = jnp.asarray(rng.integers(0, 10, 8), jnp.int32)
+    lam = jnp.asarray(rng.uniform(0.1, 1.0, 8), jnp.float32)
+    amp = jnp.asarray(rng.uniform(0.9, 1.1, 8), jnp.float32)
+    sd = jnp.zeros(8, jnp.float32)
+
+    out = gather_augment_sharded(mesh, data, idx, pidx, 7, lam, amp, sd,
+                                 tile_n=128, interpret=True,
+                                 with_noise=False)
+    ref = gather_augment_reference(data, idx, pidx,
+                                   jnp.zeros((8, 12, 512), jnp.float32),
+                                   lam, amp, sd)
+    assert out.sharding.spec == jax.sharding.PartitionSpec(
+        "data", None, "model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_divisibility_guard():
+    from simulgen_vae_tpu.ops.gather_augment import gather_augment_sharded
+
+    mesh = _mesh_2x4()
+    data = jnp.zeros((4, 6, 512), jnp.float32)
+    args = (jnp.zeros(7, jnp.int32), jnp.zeros(7, jnp.int32), 0,
+            jnp.ones(7), jnp.ones(7), jnp.zeros(7))
+    with pytest.raises(ValueError, match="needs b%data"):
+        gather_augment_sharded(mesh, data, *args, interpret=True,
+                               with_noise=False)
+
+
+def test_trainer_fused_aug_on_mesh():
+    """fit(mesh=...) with the fused mesh assembly trains end-to-end on the
+    virtual mesh (noise off: the in-kernel PRNG has no CPU lowering)."""
+    from simulgen_vae_tpu.config import VAEConfig
+    from simulgen_vae_tpu.data.augmentation import AugmentationConfig
+    from simulgen_vae_tpu.train.vae_trainer import VAETrainer
+
+    mesh = _mesh_2x4()
+    cfg = VAEConfig(num_param=20, num_time=12, num_node=512,
+                    latent_dim_end=8, latent_dim=4, num_filter_enc=[16, 8],
+                    small=True, n_epochs=4, batch_size=8, lr=1e-3,
+                    alpha=100.0)
+    aug = AugmentationConfig(noise_prob=0.0)
+    trainer = VAETrainer(cfg, aug=aug, donate=False, fused_aug=True)
+    trainer.set_mesh(mesh)
+    assert trainer._use_fused_aug(8)
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((20, 12, 512)).astype(np.float32) * 0.3
+    state, hist = trainer.fit(data, jax.random.PRNGKey(0), val_split=0.2,
+                              epochs=3, mesh=mesh)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["loss"][-1] < hist["loss"][0]
