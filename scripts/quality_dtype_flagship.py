@@ -28,7 +28,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(dtype: str, epochs: int, samples: int, log_every: int):
+def make_data(kind: str, samples: int):
+    """f32 master ensemble shared by both dtype legs.
+
+    "waves": the structured traveling-wave ensemble (data/dataset.py) a
+    small latent space genuinely explains — recon MSE keeps improving with
+    training, so a dtype gap shows.  "iid": scaled white noise (structure-
+    free; recon plateaus near the posterior mean — only detects gross
+    numerical degradation).
+    """
+    if kind == "waves":
+        from simulgen_vae_tpu.data.dataset import synthetic_dataset
+        from simulgen_vae_tpu.data.scaler import data_scaler
+
+        raw = synthetic_dataset(samples, 200, 95008, seed=7)
+        scaled, _, _ = data_scaler(raw, 200, 95008, save_path=None)
+        return scaled
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((samples, 200, 95008)).astype(np.float32) * 0.3
+
+
+def run(dtype: str, epochs: int, samples: int, log_every: int,
+        base: np.ndarray):
     import jax
     import jax.numpy as jnp
 
@@ -43,12 +64,7 @@ def run(dtype: str, epochs: int, samples: int, log_every: int):
         dtype=dtype,
     )
     trainer = VAETrainer(cfg, donate=True, fast_rng=True)
-
-    # Same physical ensemble for both dtypes: smooth random fields, f32
-    # master copy cast to the training dtype (like fit() does).
-    rng = np.random.default_rng(7)
-    base = rng.standard_normal((samples, 200, 95008)).astype(np.float32)
-    data = jnp.asarray(base * 0.3, jnp.dtype(dtype))
+    data = jnp.asarray(base, jnp.dtype(dtype))
 
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key)
@@ -85,22 +101,31 @@ def main():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--out",
                     default="docs/artifacts/quality_dtype_flagship.json")
+    ap.add_argument("--dtypes", default="bfloat16,float32",
+                    help="comma list; run one dtype (e.g. a f32 retry at "
+                         "fewer --samples after an OOM) and merge by hand")
+    ap.add_argument("--data", default="waves", choices=("waves", "iid"))
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+    base = make_data(args.data, args.samples)
     results = {}
-    for dtype in ("bfloat16", "float32"):
+    for dtype in args.dtypes.split(","):
         results[dtype] = run(dtype, args.epochs, args.samples,
-                             args.log_every)
+                             args.log_every, base)
 
-    ratio = (results["bfloat16"]["final_train_recon_mse"]
-             / max(results["float32"]["final_train_recon_mse"], 1e-30))
+    ratio = None
+    if "bfloat16" in results and "float32" in results:
+        ratio = round(
+            results["bfloat16"]["final_train_recon_mse"]
+            / max(results["float32"]["final_train_recon_mse"], 1e-30), 4)
     out = {
-        "geometry": "64x200x95008 synthetic, filters 1024/512/256/128",
-        "bf16_over_f32_recon_mse_ratio": round(ratio, 4),
+        "geometry": f"{args.samples}x200x95008 synthetic ({args.data}), "
+                    "filters 1024/512/256/128",
+        "bf16_over_f32_recon_mse_ratio": ratio,
         "results": {k: {k2: v2 for k2, v2 in v.items() if k2 != "curve"}
                     for k, v in results.items()},
         "curves": {k: v["curve"] for k, v in results.items()},

@@ -105,11 +105,25 @@ def _kernel(idx_ref, pidx_ref, seed_ref, lam_ref, amp_ref, sd_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def default_tile_n(t: int, itemsize: int) -> int:
+    """Largest 128-multiple node tile fitting the 16 MB scoped-VMEM budget.
+
+    Measured footprint is ~10.7x the input block bytes (row + partner + out
+    blocks double-buffered, plus the f32 working copies and noise
+    temporaries): f32 T=200 tile=2048 compiles to a 17.14 MB stack — over
+    the limit — while bf16 at the same tile fits.  Target 12 MB to leave
+    headroom, cap at the bf16-tuned 2048 (larger tiles measured flat,
+    docs/PERF.md).
+    """
+    tile = int(12e6 / (10.7 * t * itemsize)) // 128 * 128
+    return max(min(tile, 2048), 256)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "interpret", "with_noise"))
 def gather_augment(data: jax.Array, idx: jax.Array, pidx: jax.Array,
                    seed: jax.Array, lam_eff: jax.Array, amp: jax.Array,
-                   noise_sd: jax.Array, *, tile_n: int = 2048,
+                   noise_sd: jax.Array, *, tile_n: int = 0,
                    interpret: bool = False,
                    with_noise: bool = True) -> jax.Array:
     """Gather ``data[idx]`` and ``data[pidx]`` and fuse the augmentation.
@@ -128,6 +142,8 @@ def gather_augment(data: jax.Array, idx: jax.Array, pidx: jax.Array,
     """
     n, t, nodes = data.shape
     b = idx.shape[0]
+    if not tile_n:  # 0 = auto (dtype/VMEM-aware)
+        tile_n = default_tile_n(t, jnp.dtype(data.dtype).itemsize)
     grid = (b, pl.cdiv(nodes, tile_n))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -156,7 +172,7 @@ def gather_augment(data: jax.Array, idx: jax.Array, pidx: jax.Array,
 def gather_augment_sharded(mesh, data: jax.Array, idx: jax.Array,
                            pidx: jax.Array, seed: jax.Array,
                            lam_eff: jax.Array, amp: jax.Array,
-                           noise_sd: jax.Array, *, tile_n: int = 2048,
+                           noise_sd: jax.Array, *, tile_n: int = 0,
                            interpret: bool = False,
                            with_noise: bool = True) -> jax.Array:
     """Mesh-parallel fused assembly: :func:`gather_augment` under shard_map.
@@ -193,6 +209,9 @@ def gather_augment_sharded(mesh, data: jax.Array, idx: jax.Array,
         raise ValueError(
             f"gather_augment_sharded needs b%data==0 and nodes%model==0, "
             f"got b={b}, nodes={nodes}, mesh={dict(mesh.shape)}")
+    if not tile_n:
+        tile_n = default_tile_n(data.shape[1],
+                                jnp.dtype(data.dtype).itemsize)
     local_tile = min(tile_n, nodes // m_ax)
 
     def body(data_l, idx_l, pidx_l, seed_l, lam_l, amp_l, sd_l):

@@ -186,3 +186,17 @@ def test_trainer_fused_aug_on_mesh():
                               epochs=3, mesh=mesh)
     assert np.isfinite(hist["loss"]).all()
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_default_tile_vmem_budget():
+    """Auto tile keeps the ~10.7x-block scoped-VMEM model under 12 MB and
+    stays 128-aligned (f32 at tile 2048 measured 17.14 MB > 16 MB limit)."""
+    from simulgen_vae_tpu.ops.gather_augment import default_tile_n
+
+    for t in (50, 100, 200, 400):
+        for itemsize in (2, 4):
+            tile = default_tile_n(t, itemsize)
+            assert tile % 128 == 0 and tile >= 256
+            assert tile == 2048 or 10.7 * t * tile * itemsize <= 12e6
+    assert default_tile_n(200, 2) == 2048   # bf16 flagship: unchanged
+    assert default_tile_n(200, 4) == 1280   # f32 flagship: fits VMEM now
