@@ -79,8 +79,11 @@ def main():
                                            rngs={"sample": key})[1])
 
     def loss_only(p, x):
-        loss, _ = trainer._loss_fn(p, state.sn_u, x, key, 1.0,
-                                   update_sn=False)
+        from simulgen_vae_tpu.models.spectral_norm import compute_sigmas
+
+        sig, _ = compute_sigmas(p, state.sn_u, update=False,
+                                compute_dtype=trainer._sn_compute_dtype())
+        loss, _ = trainer._loss_fn(p, sig, x, key, 1.0)
         return loss
 
     grad = jax.jit(jax.grad(loss_only))

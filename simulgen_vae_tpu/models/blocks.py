@@ -372,6 +372,15 @@ class FusedPointwiseNormTanh(nn.Module):
         if not self.analytic:
             from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu
 
+            if inv is not None and f <= c:
+                # Scale the INPUT by 1/sigma — same math (the layer is
+                # linear), but sigma's backward ops ride the [B,T,F] side,
+                # which is ~93x smaller than [B,T,nodes] at flagship
+                # geometry.  An output-side scale makes XLA materialize a
+                # full f32 dy*inv map in the backward once inv is a
+                # grad-tracked input (round-3 HLO: 1.2 GB/step).
+                h = (h.astype(jnp.float32) * inv).astype(h.dtype)
+                inv = None
             y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
                            preferred_element_type=jnp.float32)
             if inv is not None:

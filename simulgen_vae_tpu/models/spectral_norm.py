@@ -53,7 +53,7 @@ def init_sn_state(params, rng: jax.Array,
 
 
 def compute_sigmas(params, state, update: bool = True,
-                   compute_dtype=None) -> Tuple[dict, dict]:
+                   compute_dtype=None, with_grad_factors: bool = False):
     """Power-iterate and return ``(sigma_collection, new_state)`` WITHOUT
     materializing normalized kernels.
 
@@ -74,10 +74,21 @@ def compute_sigmas(params, state, update: bool = True,
 
     Args mirror :func:`spectral_normalize`; ``update=False`` reuses the
     stored ``u`` (eval semantics: sigma = ||M u||).
+
+    ``with_grad_factors=True`` additionally stop-gradients the whole
+    computation and returns ``(sig, new_u, factors)`` where ``factors`` maps
+    each kernel path to the rank-1 gradient factors ``(row, col, inv)`` with
+    ``d sigma / dM = row col^T`` (f32).  Autodiff through sigma materializes
+    that outer product as a FULL [rest, out] f32 tensor per kernel — 524 MB
+    for the flagship's largest kernel, ~3 GB/step of pure HBM traffic across
+    the kernel set (round-3 HLO trace: ``multiply_convert_fusion`` feeding
+    the dW+AdamW sweeps).  The factors let the trainer add the identical
+    gradient term analytically via :func:`add_sigma_rank1_grads`, which XLA
+    rematerializes in-register inside the optimizer sweep.
     """
     flat_p = traverse_util.flatten_dict(params)
     flat_u = traverse_util.flatten_dict(state) if state else {}
-    sig, new_u = {}, {}
+    sig, new_u, factors = {}, {}, {}
 
     # Group kernels that share a matrix shape and batch their power
     # iterations into single einsums: the flagship VAE has ~40 SN'd kernels
@@ -102,6 +113,9 @@ def compute_sigmas(params, state, update: bool = True,
         else:
             m = jnp.stack([m_ for _, m_, _ in entries])       # [g, R, O]
             u = jnp.stack([u_ for _, _, u_ in entries])       # [g, O]
+        if with_grad_factors:
+            # grads handled analytically by add_sigma_rank1_grads
+            m = jax.lax.stop_gradient(m)
         if update:
             mu = jnp.einsum("gro,go->gr", jax.lax.stop_gradient(m),
                             u.astype(m.dtype)).astype(jnp.float32)
@@ -112,17 +126,58 @@ def compute_sigmas(params, state, update: bool = True,
             sigma = jnp.linalg.norm(mtv, axis=1)              # [g]
             u_next = jax.lax.stop_gradient(
                 mtv / (sigma[:, None] + EPS))
+            # d sigma / dM = v (mtv/sigma)^T  (u, v stop-gradient'd;
+            # sigma without EPS — the exact gradient of the norm)
+            rows, cols = v, mtv / sigma[:, None]
         else:
             mu = jnp.einsum("gro,go->gr", m,
                             u.astype(m.dtype)).astype(jnp.float32)
             sigma = jnp.linalg.norm(mu, axis=1)
             u_next = u
+            # sigma = ||M u||: d sigma / dM = (mu/sigma) u^T
+            rows, cols = mu / sigma[:, None], u.astype(jnp.float32)
         inv = 1.0 / (sigma + EPS)
         for i, path in enumerate(paths):
             new_u[path] = u_next[i]
             sig[path[:-1] + ("inv_sigma",)] = inv[i]
+            if with_grad_factors:
+                factors[path] = (jax.lax.stop_gradient(rows[i]),
+                                 jax.lax.stop_gradient(cols[i]),
+                                 jax.lax.stop_gradient(inv[i]))
 
-    return traverse_util.unflatten_dict(sig), traverse_util.unflatten_dict(new_u)
+    sig_tree = traverse_util.unflatten_dict(sig)
+    u_tree = traverse_util.unflatten_dict(new_u)
+    if with_grad_factors:
+        return sig_tree, u_tree, factors
+    return sig_tree, u_tree
+
+
+def add_sigma_rank1_grads(grads, g_sigmas, factors):
+    """Fold sigma's parameter gradient into ``grads`` analytically.
+
+    The model reads ``inv_sigma = 1/(sigma + EPS)`` per kernel (output
+    scaling, see :func:`compute_sigmas`); with cotangent ``g_inv`` from
+    ``value_and_grad(..., argnums=(params, sigmas))`` the missing term is
+
+        dL/dW += g_inv * d inv/d sigma * d sigma/dM
+               = g_inv * (-inv^2) * row col^T
+
+    — a rank-1 outer product per kernel, added here as a broadcasted
+    elementwise expression so XLA fuses it into the optimizer's existing
+    HBM sweep instead of materializing full [rest, out] f32 tensors (which
+    autodiff through sigma does: ~3 GB/step at flagship geometry).
+    """
+    flat_g = traverse_util.flatten_dict(grads)
+    flat_s = traverse_util.flatten_dict(g_sigmas) if g_sigmas else {}
+    for path, (row, col, inv) in factors.items():
+        g_inv = flat_s.get(path[:-1] + ("inv_sigma",))
+        if g_inv is None:
+            continue
+        leaf = flat_g[path]
+        coef = g_inv * (-(inv * inv))
+        r1 = (coef * row)[:, None] * col[None, :]
+        flat_g[path] = leaf + r1.reshape(leaf.shape).astype(leaf.dtype)
+    return traverse_util.unflatten_dict(flat_g)
 
 
 def spectral_normalize(params, state, update: bool = True, n_iter: int = 1,

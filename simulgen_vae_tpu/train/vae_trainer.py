@@ -38,6 +38,7 @@ from simulgen_vae_tpu.config import VAEConfig
 from simulgen_vae_tpu.data.augmentation import AugmentationConfig, augment_batch
 from simulgen_vae_tpu.losses import beta_schedule
 from simulgen_vae_tpu.models.spectral_norm import (
+    add_sigma_rank1_grads,
     compute_sigmas,
     init_sn_state,
     spectral_normalize,
@@ -262,18 +263,13 @@ class VAETrainer:
         return gather_augment(data, idx, partner_idx, seed, lam_eff, amp,
                               noise_sd)
 
-    def _loss_fn(self, params, sn_u, batch, key, beta, update_sn=True):
-        # Spectral norm WITHOUT materializing W/sigma: compute per-kernel
-        # 1/sigma (power iteration) and let each layer scale its output —
-        # saves two full passes over the ~310M-param kernel set per step
-        # (see models/spectral_norm.compute_sigmas).
+    def _loss_fn(self, params, sigmas, batch, key, beta):
+        # Spectral norm WITHOUT materializing W/sigma: the per-kernel
+        # 1/sigma collection (power iteration, computed by the caller) lets
+        # each layer scale its output — saves two full passes over the
+        # ~310M-param kernel set per step (models/spectral_norm.compute_sigmas).
         variables = {"params": params}
-        new_u = sn_u
         if self.use_sn:
-            sigmas, new_u = compute_sigmas(
-                params, sn_u, update=update_sn,
-                compute_dtype=self._sn_compute_dtype(),
-            )
             variables["sn_sigma"] = sigmas
         _, recon, kls, recon_mse = self.model.apply(
             variables, batch, fused_readout_loss=self._use_fused_readout(),
@@ -287,7 +283,29 @@ class VAETrainer:
             "kl": kl_sum,
             "recon_mse": self.cfg.alpha * recon_mse,
         }
-        return loss, (new_u, metrics)
+        return loss, metrics
+
+    def _loss_and_grads(self, params, sn_u, batch, key, beta):
+        """value_and_grad of the step loss with sigma's parameter gradient
+        applied analytically (rank-1 per kernel) instead of by autodiff,
+        which materializes full [rest, out] f32 outer products to HBM —
+        ~3 GB/step at flagship geometry (docs/PERF.md round 3).  Returns
+        ``(metrics, new_u, grads)``."""
+        if not self.use_sn:
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(params, {}, batch, key, beta)
+            return metrics, sn_u, grads
+        sigmas, new_u, factors = compute_sigmas(
+            params, sn_u, update=True,
+            compute_dtype=self._sn_compute_dtype(), with_grad_factors=True,
+        )
+        grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1),
+                                     has_aux=True)
+        (_, metrics), (g_params, g_sigmas) = grad_fn(
+            params, sigmas, batch, key, beta
+        )
+        g_params = add_sigma_rank1_grads(g_params, g_sigmas, factors)
+        return metrics, new_u, g_params
 
     # -- epochs ------------------------------------------------------------
 
@@ -335,8 +353,7 @@ class VAETrainer:
                 batch = augment_batch(k_aug, batch, partner, self.aug)
             batch = self._constrain_batch(batch)
 
-            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-            (_, (new_u, metrics)), grads = grad_fn(
+            metrics, new_u, grads = self._loss_and_grads(
                 params, sn_u, batch, k_model, beta
             )
             params, opt_state, grad_norm = self.opt.apply(
@@ -383,8 +400,7 @@ class VAETrainer:
         batch = augment_batch(k_aug, batch, partner, self.aug)
         batch = self._constrain_batch(batch)
 
-        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-        (_, (new_u, metrics)), grads = grad_fn(
+        metrics, new_u, grads = self._loss_and_grads(
             state.params, state.sn_u, batch, k_model, beta
         )
         params, opt_state, grad_norm = self.opt.apply(
@@ -490,11 +506,19 @@ class VAETrainer:
         idx = jnp.arange(num_batches * bsz) % n
         idx = idx.reshape(num_batches, bsz)
 
+        if self.use_sn:
+            sigmas, _ = compute_sigmas(
+                state.params, state.sn_u, update=False,
+                compute_dtype=self._sn_compute_dtype(),
+            )
+        else:
+            sigmas = {}
+
         def step(_, batch_idx):
             k = jax.random.fold_in(key, batch_idx[0])
             batch = jnp.take(data, batch_idx, axis=0)
-            _, (_, metrics) = self._loss_fn(
-                state.params, state.sn_u, batch, k, beta, update_sn=False
+            _, metrics = self._loss_fn(
+                state.params, sigmas, batch, k, beta
             )
             return None, metrics
 

@@ -169,6 +169,85 @@ def test_output_scaling_sn_matches_materializing_in_model():
     la, ga = jax.value_and_grad(loss_mat)(params)
     lb, gb = jax.value_and_grad(loss_scale)(params)
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    # rtol covers float reassociation: the readout applies inv on its
+    # input side ((h*inv)@W vs (h@W)*inv — same math, different rounding).
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=8e-4, atol=1e-6)
+
+
+def test_analytic_rank1_sigma_grads_match_autodiff():
+    """Gradients via (stop-grad sigma + analytic rank-1 add) equal autodiff
+    through the power iteration (the trainer path since round 3 — avoids
+    materializing full outer-product tensors at flagship scale)."""
+    from simulgen_vae_tpu.models.spectral_norm import (
+        add_sigma_rank1_grads,
+        compute_sigmas,
+    )
+    from simulgen_vae_tpu.models.vae import VAE
+
+    model = VAE(latent_dim=4, hierarchical_dim=2, num_filter_enc=[8, 8],
+                num_filter_dec=[8, 8], num_node=16, num_time=10, small=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 16)) * 0.3
+    params = model.init({"params": key, "sample": key}, x)["params"]
+    sn_u = init_sn_state(params, jax.random.PRNGKey(2))
+
+    def apply_loss(p, sig):
+        _, recon, kls, _ = model.apply({"params": p, "sn_sigma": sig}, x,
+                                       rngs={"sample": jax.random.PRNGKey(5)})
+        return 100.0 * recon + sum(kls)
+
+    def loss_autodiff(p):
+        sig, _ = compute_sigmas(p, sn_u)
+        return apply_loss(p, sig)
+
+    la, ga = jax.value_and_grad(loss_autodiff)(params)
+
+    sig, _, factors = compute_sigmas(params, sn_u, with_grad_factors=True)
+    lb, (gp, gs) = jax.value_and_grad(apply_loss, argnums=(0, 1))(params, sig)
+    gb = add_sigma_rank1_grads(gp, gs, factors)
+
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    assert flat_a and len(flat_a) == len(flat_b)
+    for k, a in flat_a:
+        b = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_analytic_rank1_sigma_grads_eval_mode():
+    """update=False factors (sigma = ||M u||) also match autodiff."""
+    from simulgen_vae_tpu.models.spectral_norm import (
+        add_sigma_rank1_grads,
+        compute_sigmas,
+    )
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((24, 10)).astype(np.float32)
+    params = {"l": {"kernel": jnp.asarray(w)}}
+    sn_u = init_sn_state(params, jax.random.PRNGKey(3))
+
+    def loss_from_sig(p, sig):
+        # arbitrary smooth function of inv_sigma and the kernel
+        return (jnp.sum(p["l"]["kernel"] ** 2) * sig["l"]["inv_sigma"])
+
+    def loss_autodiff(p):
+        sig, _ = compute_sigmas(p, sn_u, update=False)
+        return loss_from_sig(p, sig)
+
+    la, ga = jax.value_and_grad(loss_autodiff)(params)
+
+    sig, _, factors = compute_sigmas(params, sn_u, update=False,
+                                     with_grad_factors=True)
+    lb, (gp, gs) = jax.value_and_grad(loss_from_sig, argnums=(0, 1))(
+        params, sig)
+    gb = add_sigma_rank1_grads(gp, gs, factors)
+
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga["l"]["kernel"]),
+                               np.asarray(gb["l"]["kernel"]),
+                               rtol=1e-5, atol=1e-7)
