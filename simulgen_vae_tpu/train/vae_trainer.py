@@ -111,7 +111,13 @@ class VAETrainer:
         )
         # Fused AdamW (same math as torch AdamW / optax.adamw, train.py:92):
         # one HBM sweep per step instead of optax's materialized updates tree.
-        self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        # SIMULGEN_OPT_MOMENT_DTYPE=bfloat16 stores m/v in bf16 (update math
+        # stays f32) — opt-in experiment: halves the optimizer-state sweep.
+        import os as _os
+
+        _mdt = _os.environ.get("SIMULGEN_OPT_MOMENT_DTYPE", "")
+        self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                              moment_dtype=jnp.dtype(_mdt) if _mdt else None)
         self._donate_args = (0,) if donate else ()
         self._make_jitted_fns()
 
