@@ -17,6 +17,7 @@ MFU is model fwd+bwd FLOPs (3x forward) over the v5e bf16 peak.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -336,6 +337,12 @@ def main():
         resident_samples = 64   # HBM-resident subset of the 484-sample set
         dtype = "bfloat16"
         epochs = 6              # timed epochs (median-of-epochs reported)
+        # Quality-verified optimizer-state precision for the benched config
+        # (docs/PARITY.md "Optimizer moment dtype"): m in bf16, v in f32 —
+        # medium-scale h2h MSE ratio 1.028, inside the claimed ±5% band.
+        # Full-bf16 moments measured 1.052 (outside the band): opt-in only.
+        os.environ.setdefault("SIMULGEN_OPT_MOMENT_DTYPE", "bfloat16")
+        os.environ.setdefault("SIMULGEN_OPT_NU_DTYPE", "float32")
     else:
         num_node, num_time, batch = 2048, 50, 16
         filters = [64, 32, 16, 8]
@@ -408,7 +415,7 @@ def main():
     result = {
         "metric": "samples/sec/chip (VAE train step, batch 16, "
                   f"{num_time}x{num_node}, {resident_samples}-sample "
-                  "HBM-resident subset, bf16)"
+                  "HBM-resident subset, bf16, opt m=bf16/v=f32)"
                   if on_tpu else
                   "samples/sec/chip (VAE train step, CPU-scaled geometry)",
         "value": round(sps_per_chip, 3),

@@ -42,24 +42,30 @@ class FusedAdamW:
 
     def __init__(self, b1: float = 0.9, b2: float = 0.999,
                  eps: float = 1e-8, weight_decay: float = 0.01,
-                 moment_dtype=None):
-        """``moment_dtype`` stores m/v in a lower precision (e.g. bf16)
-        while all update MATH stays f32 — halves the optimizer-state HBM
-        sweep, which is ~13 ms/step at flagship scale (round-3 trace:
+                 moment_dtype=None, nu_dtype='same'):
+        """``moment_dtype`` stores the moments in a lower precision (e.g.
+        bf16) while all update MATH stays f32 — halves the optimizer-state
+        HBM sweep, which is ~13 ms/step at flagship scale (round-3 trace:
         the multiply_subtract dW+AdamW fusions are bandwidth-bound on
-        p/m/v/g traffic).  None keeps exact f32 state (torch parity)."""
+        p/m/v/g traffic).  None keeps exact f32 state (torch parity).
+
+        ``nu_dtype`` overrides the second moment's storage separately:
+        'same' follows moment_dtype; pass jnp.float32 for the mixed
+        m=bf16 / v=f32 configuration (v sits under a sqrt in the update
+        denominator, so its quantization moves the step size directly —
+        measured +5% recon-MSE at medium scale with v in bf16,
+        docs/PERF.md round 3)."""
         self.b1, self.b2, self.eps, self.wd = b1, b2, eps, weight_decay
         self.moment_dtype = moment_dtype
+        self.nu_dtype = moment_dtype if nu_dtype == 'same' else nu_dtype
 
     def init(self, params) -> FusedAdamWState:
         mdt = self.moment_dtype or jnp.float32
-        zeros = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, mdt), params
-        )
+        ndt = self.nu_dtype or jnp.float32
         return FusedAdamWState(
             count=jnp.zeros((), jnp.int32),
-            mu=zeros,
-            nu=jax.tree.map(jnp.copy, zeros),
+            mu=jax.tree.map(lambda p: jnp.zeros(p.shape, mdt), params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, ndt), params),
         )
 
     def apply(self, grads, state: FusedAdamWState, params, lr
@@ -76,7 +82,7 @@ class FusedAdamW:
         flat_v = treedef.flatten_up_to(state.nu)
         flat_g = treedef.flatten_up_to(grads)
 
-        mdt = self.moment_dtype
+        mdt, ndt = self.moment_dtype, self.nu_dtype
         new_p, new_m, new_v, sumsqs = [], [], [], []
         for p, m, v, g in zip(flat_p, flat_m, flat_v, flat_g):
             gf = g.astype(jnp.float32)
@@ -89,7 +95,7 @@ class FusedAdamW:
             p2 = (pf - lr * upd).astype(p.dtype)
             new_p.append(p2)
             new_m.append(m2.astype(mdt) if mdt else m2)
-            new_v.append(v2.astype(mdt) if mdt else v2)
+            new_v.append(v2.astype(ndt) if ndt else v2)
             sumsqs.append(jnp.sum(gf * gf))
 
         grad_norm = jnp.sqrt(sum(sumsqs))

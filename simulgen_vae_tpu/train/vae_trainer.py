@@ -111,13 +111,16 @@ class VAETrainer:
         )
         # Fused AdamW (same math as torch AdamW / optax.adamw, train.py:92):
         # one HBM sweep per step instead of optax's materialized updates tree.
-        # SIMULGEN_OPT_MOMENT_DTYPE=bfloat16 stores m/v in bf16 (update math
-        # stays f32) — opt-in experiment: halves the optimizer-state sweep.
+        # SIMULGEN_OPT_MOMENT_DTYPE=bfloat16 stores m (and, unless
+        # SIMULGEN_OPT_NU_DTYPE overrides, v) in bf16; update math stays
+        # f32.  Trims the optimizer-state sweep (docs/PERF.md round 3).
         import os as _os
 
         _mdt = _os.environ.get("SIMULGEN_OPT_MOMENT_DTYPE", "")
+        _ndt = _os.environ.get("SIMULGEN_OPT_NU_DTYPE", "")
         self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
-                              moment_dtype=jnp.dtype(_mdt) if _mdt else None)
+                              moment_dtype=jnp.dtype(_mdt) if _mdt else None,
+                              nu_dtype=jnp.dtype(_ndt) if _ndt else "same")
         self._donate_args = (0,) if donate else ()
         self._make_jitted_fns()
 

@@ -71,3 +71,24 @@ def test_count_increments_and_jits():
     params, state, _ = step(params, state, grads)
     params, state, _ = step(params, state, grads)
     assert int(state.count) == 2
+
+
+def test_bf16_moment_dtype_tracks_f32():
+    """moment_dtype=bf16 (the TPU default path) stays within bf16
+    quantization of the exact f32 optimizer over a multi-step run."""
+    import jax.numpy as jnp
+
+    params = _tree(jax.random.PRNGKey(5))
+    opt32 = FusedAdamW()
+    opt16 = FusedAdamW(moment_dtype=jnp.bfloat16)
+    s32, s16 = opt32.init(params), opt16.init(params)
+    assert jax.tree.leaves(s16.mu)[0].dtype == jnp.bfloat16
+    p32 = p16 = params
+    for i in range(20):
+        grads = _tree(jax.random.PRNGKey(10 + i))
+        p32, s32, _ = opt32.apply(grads, s32, p32, 1e-3)
+        p16, s16, _ = opt16.apply(grads, s16, p16, 1e-3)
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        # params drift by at most ~bf16 eps of the accumulated update
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
