@@ -26,6 +26,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _sr_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
+    """Stochastically round f32 -> bf16 (unbiased): add uniform 16-bit
+    noise below the bf16 mantissa cut, then truncate the low bits.
+
+    floor((bits(x) + U[0,2^16)) / 2^16) rounds up with probability equal
+    to the fractional distance to the next representable, so E[result]
+    == x elementwise.  Round-to-nearest-even instead carries a small
+    deterministic per-element bias that ACCUMULATES in EMA statistics
+    like Adam's second moment — measured as +2-5% final recon-MSE at
+    medium scale (docs/PERF.md round 3).  Sign-magnitude layout means
+    the bits-space trick is unbiased for negatives too."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    bits = (bits + noise) & jnp.uint32(0xFFFF0000)
+    # the masked f32 is exactly representable in bf16 -> astype is exact
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
 class FusedAdamWState(NamedTuple):
     count: jax.Array   # int32 scalar
     mu: Any            # first-moment pytree (f32, like params)
@@ -42,7 +60,8 @@ class FusedAdamW:
 
     def __init__(self, b1: float = 0.9, b2: float = 0.999,
                  eps: float = 1e-8, weight_decay: float = 0.01,
-                 moment_dtype=None, nu_dtype='same'):
+                 moment_dtype=None, nu_dtype='same',
+                 stochastic_round: bool = False):
         """``moment_dtype`` stores the moments in a lower precision (e.g.
         bf16) while all update MATH stays f32 — halves the optimizer-state
         HBM sweep, which is ~13 ms/step at flagship scale (round-3 trace:
@@ -54,10 +73,18 @@ class FusedAdamW:
         m=bf16 / v=f32 configuration (v sits under a sqrt in the update
         denominator, so its quantization moves the step size directly —
         measured +5% recon-MSE at medium scale with v in bf16,
-        docs/PERF.md round 3)."""
+        docs/PERF.md round 3).
+
+        ``stochastic_round`` uses unbiased stochastic rounding (see
+        ``_sr_round_bf16``) instead of round-to-nearest for every bf16
+        moment downcast, keyed deterministically off the step count —
+        the standard fix for the EMA rounding-bias above.  The ~16 bits
+        of RBG noise per stored element fuse into the (bandwidth-bound)
+        optimizer sweep."""
         self.b1, self.b2, self.eps, self.wd = b1, b2, eps, weight_decay
         self.moment_dtype = moment_dtype
         self.nu_dtype = moment_dtype if nu_dtype == 'same' else nu_dtype
+        self.sr = stochastic_round
 
     def init(self, params) -> FusedAdamWState:
         mdt = self.moment_dtype or jnp.float32
@@ -83,8 +110,21 @@ class FusedAdamW:
         flat_g = treedef.flatten_up_to(grads)
 
         mdt, ndt = self.moment_dtype, self.nu_dtype
+        sr = self.sr and jnp.bfloat16 in (mdt, ndt)
+        if sr:
+            # cheap counter-based generator: the noise must be unbiased
+            # and step-decorrelated, not cryptographic
+            sr_base = jax.random.key(count.astype(jnp.uint32), impl="rbg")
+
+        def _store(x, dt, leaf_key):
+            if not dt:
+                return x
+            if sr and dt == jnp.bfloat16:
+                return _sr_round_bf16(x, jax.random.fold_in(sr_base, leaf_key))
+            return x.astype(dt)
+
         new_p, new_m, new_v, sumsqs = [], [], [], []
-        for p, m, v, g in zip(flat_p, flat_m, flat_v, flat_g):
+        for i, (p, m, v, g) in enumerate(zip(flat_p, flat_m, flat_v, flat_g)):
             gf = g.astype(jnp.float32)
             m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
             v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
@@ -94,8 +134,8 @@ class FusedAdamW:
             upd = mhat / (jnp.sqrt(vhat) + eps) + wd * pf
             p2 = (pf - lr * upd).astype(p.dtype)
             new_p.append(p2)
-            new_m.append(m2.astype(mdt) if mdt else m2)
-            new_v.append(v2.astype(ndt) if ndt else v2)
+            new_m.append(_store(m2, mdt, 2 * i))
+            new_v.append(_store(v2, ndt, 2 * i + 1))
             sumsqs.append(jnp.sum(gf * gf))
 
         grad_norm = jnp.sqrt(sum(sumsqs))

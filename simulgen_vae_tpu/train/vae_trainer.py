@@ -118,9 +118,14 @@ class VAETrainer:
 
         _mdt = _os.environ.get("SIMULGEN_OPT_MOMENT_DTYPE", "")
         _ndt = _os.environ.get("SIMULGEN_OPT_NU_DTYPE", "")
+        # SIMULGEN_OPT_SR=1: unbiased stochastic rounding for the bf16
+        # moment downcasts (fixes the EMA rounding bias of deterministic
+        # bf16 v — docs/PERF.md round 3)
+        _sr = _os.environ.get("SIMULGEN_OPT_SR", "") == "1"
         self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
                               moment_dtype=jnp.dtype(_mdt) if _mdt else None,
-                              nu_dtype=jnp.dtype(_ndt) if _ndt else "same")
+                              nu_dtype=jnp.dtype(_ndt) if _ndt else "same",
+                              stochastic_round=_sr)
         self._donate_args = (0,) if donate else ()
         self._make_jitted_fns()
 

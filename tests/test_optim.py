@@ -92,3 +92,62 @@ def test_bf16_moment_dtype_tracks_f32():
         # params drift by at most ~bf16 eps of the accumulated update
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-4)
+
+
+def test_stochastic_rounding_unbiased():
+    """SR to bf16 is unbiased where round-to-nearest is systematically off:
+    a value 0.3 ulp above 1.0 always RNE-rounds DOWN, but the SR mean over
+    many elements must sit at the true value."""
+    import jax.numpy as jnp
+    from simulgen_vae_tpu.train.optim import _sr_round_bf16
+
+    ulp = 2.0 ** -7  # bf16 ulp at 1.0
+    val = 1.0 + 0.3 * ulp
+    x = jnp.full((200_000,), val, jnp.float32)
+    rne_mean = float(jnp.mean(x.astype(jnp.bfloat16).astype(jnp.float32)))
+    sr = _sr_round_bf16(x, jax.random.key(0, impl="rbg"))
+    sr_mean = float(jnp.mean(sr.astype(jnp.float32)))
+    assert abs(rne_mean - val) > 0.25 * ulp          # RNE bias is real
+    assert abs(sr_mean - val) < 0.02 * ulp           # SR mean is on target
+    # outputs are only ever the two bracketing representables
+    uniq = np.unique(np.asarray(sr, np.float32))
+    assert set(uniq) <= {1.0, 1.0 + ulp}
+
+
+def test_stochastic_rounding_negative_and_exact():
+    """Exactly-representable values pass through untouched; negatives are
+    unbiased in magnitude (sign-magnitude bits trick)."""
+    import jax.numpy as jnp
+    from simulgen_vae_tpu.train.optim import _sr_round_bf16
+
+    exact = jnp.asarray([0.0, 1.0, -2.5, 0.00390625], jnp.float32)
+    out = _sr_round_bf16(exact, jax.random.key(1, impl="rbg"))
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(exact))
+    ulp = 2.0 ** -7
+    x = jnp.full((200_000,), -(1.0 + 0.7 * ulp), jnp.float32)
+    sr_mean = float(jnp.mean(_sr_round_bf16(
+        x, jax.random.key(2, impl="rbg")).astype(jnp.float32)))
+    assert abs(sr_mean - (-(1.0 + 0.7 * ulp))) < 0.02 * ulp
+
+
+def test_sr_bf16_moments_track_f32():
+    """Full-bf16 moments WITH stochastic rounding stay within the same
+    drift band as the deterministic bf16 path over a multi-step run, and
+    the update stays jittable with a traced step count."""
+    import jax.numpy as jnp
+
+    params = _tree(jax.random.PRNGKey(7))
+    opt32 = FusedAdamW()
+    opt_sr = FusedAdamW(moment_dtype=jnp.bfloat16, stochastic_round=True)
+    s32, ssr = opt32.init(params), opt_sr.init(params)
+    step = jax.jit(lambda g, s, p: opt_sr.apply(g, s, p, 1e-3))
+    p32 = psr = params
+    for i in range(20):
+        grads = _tree(jax.random.PRNGKey(30 + i))
+        p32, s32, _ = opt32.apply(grads, s32, p32, 1e-3)
+        psr, ssr, _ = step(grads, ssr, psr)
+    assert jax.tree.leaves(ssr.nu)[0].dtype == jnp.bfloat16
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(psr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
