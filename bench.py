@@ -338,11 +338,15 @@ def main():
         dtype = "bfloat16"
         epochs = 6              # timed epochs (median-of-epochs reported)
         # Quality-verified optimizer-state precision for the benched config
-        # (docs/PARITY.md "Optimizer moment dtype"): m in bf16, v in f32 —
-        # medium-scale h2h MSE ratio 1.028, inside the claimed ±5% band.
-        # Full-bf16 moments measured 1.052 (outside the band): opt-in only.
+        # (docs/PARITY.md "Optimizer moment dtype"): BOTH moments in bf16
+        # with unbiased FUSED stochastic rounding on every downcast —
+        # medium-scale h2h MSE ratio 1.016
+        # (docs/artifacts/h2h_optm_srfused_medium.json), well inside the
+        # claimed ±5% band.  Deterministic bf16 v measured 1.052 (EMA
+        # rounding bias): SR is what makes full-bf16 state quality-safe.
         os.environ.setdefault("SIMULGEN_OPT_MOMENT_DTYPE", "bfloat16")
-        os.environ.setdefault("SIMULGEN_OPT_NU_DTYPE", "float32")
+        os.environ.setdefault("SIMULGEN_OPT_NU_DTYPE", "bfloat16")
+        os.environ.setdefault("SIMULGEN_OPT_SR", "1")
     else:
         num_node, num_time, batch = 2048, 50, 16
         filters = [64, 32, 16, 8]
@@ -415,7 +419,7 @@ def main():
     result = {
         "metric": "samples/sec/chip (VAE train step, batch 16, "
                   f"{num_time}x{num_node}, {resident_samples}-sample "
-                  "HBM-resident subset, bf16, opt m=bf16/v=f32)"
+                  "HBM-resident subset, bf16, opt m+v=bf16 fused-SR)"
                   if on_tpu else
                   "samples/sec/chip (VAE train step, CPU-scaled geometry)",
         "value": round(sps_per_chip, 3),

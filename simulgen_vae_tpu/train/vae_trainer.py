@@ -299,20 +299,30 @@ class VAETrainer:
         }
         return loss, metrics
 
-    def _loss_and_grads(self, params, sn_u, batch, key, beta):
+    def _loss_and_grads(self, params, sn_u, batch, key, beta,
+                        precomputed=None):
         """value_and_grad of the step loss with sigma's parameter gradient
         applied analytically (rank-1 per kernel) instead of by autodiff,
         which materializes full [rest, out] f32 outer products to HBM —
         ~3 GB/step at flagship geometry (docs/PERF.md round 3).  Returns
-        ``(metrics, new_u, grads)``."""
+        ``(metrics, new_u, grads)``.
+
+        ``precomputed=(sigmas, factors)`` skips the power iteration and
+        reuses the caller's sigma estimate — the per-epoch SN cadence
+        (see :meth:`_sn_per_epoch`)."""
         if not self.use_sn:
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (_, metrics), grads = grad_fn(params, {}, batch, key, beta)
             return metrics, sn_u, grads
-        sigmas, new_u, factors = compute_sigmas(
-            params, sn_u, update=True,
-            compute_dtype=self._sn_compute_dtype(), with_grad_factors=True,
-        )
+        if precomputed is not None:
+            sigmas, factors = precomputed
+            new_u = sn_u
+        else:
+            sigmas, new_u, factors = compute_sigmas(
+                params, sn_u, update=True,
+                compute_dtype=self._sn_compute_dtype(),
+                with_grad_factors=True,
+            )
         grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1),
                                      has_aux=True)
         (_, metrics), (g_params, g_sigmas) = grad_fn(
@@ -320,6 +330,24 @@ class VAETrainer:
         )
         g_params = add_sigma_rank1_grads(g_params, g_sigmas, factors)
         return metrics, new_u, g_params
+
+    def _sn_per_epoch(self) -> bool:
+        """Opt-in (``SIMULGEN_SN_PER_EPOCH=1``): refresh the spectral-norm
+        power iteration once per EPOCH instead of once per step.
+
+        The iteration itself is stop-gradded but still costs two full HBM
+        reads of the ~310M-param kernel set per step (~2 ms at flagship
+        geometry — docs/PERF.md round 3).  Weights drift only ~lr per
+        step, so the per-step refresh mostly re-derives the same sigma;
+        hoisting it to the epoch boundary amortizes the cost over the
+        epoch's steps.  This deviates from the reference (torch
+        ``spectral_norm`` runs one iteration per forward,
+        ``modules/common.py:15-37``) and therefore stays opt-in until a
+        quality head-to-head shows parity.  With one batch per epoch the
+        two cadences are mathematically identical."""
+        import os
+
+        return os.environ.get("SIMULGEN_SN_PER_EPOCH", "0") in ("1", "true")
 
     # -- epochs ------------------------------------------------------------
 
@@ -352,6 +380,18 @@ class VAETrainer:
 
         fused_aug = self._use_fused_aug(bsz)
 
+        # Per-epoch SN cadence (opt-in): one power-iteration refresh at the
+        # epoch boundary, reused by every step of the scan below.
+        sn_pre = None
+        init_u = state.sn_u
+        if self.use_sn and self._sn_per_epoch():
+            sigmas0, init_u, factors0 = compute_sigmas(
+                state.params, state.sn_u, update=True,
+                compute_dtype=self._sn_compute_dtype(),
+                with_grad_factors=True,
+            )
+            sn_pre = (sigmas0, factors0)
+
         def step(carry, idx):
             params, opt_state, sn_u = carry
             k = jax.random.fold_in(k_scan, idx[0])
@@ -368,7 +408,7 @@ class VAETrainer:
             batch = self._constrain_batch(batch)
 
             metrics, new_u, grads = self._loss_and_grads(
-                params, sn_u, batch, k_model, beta
+                params, sn_u, batch, k_model, beta, precomputed=sn_pre
             )
             params, opt_state, grad_norm = self.opt.apply(
                 grads, opt_state, params, lr
@@ -377,7 +417,7 @@ class VAETrainer:
             return (params, opt_state, new_u), metrics
 
         (params, opt_state, sn_u), metrics = jax.lax.scan(
-            step, (state.params, state.opt_state, state.sn_u), perm
+            step, (state.params, state.opt_state, init_u), perm
         )
         metrics = jax.tree.map(jnp.mean, metrics)
         metrics["beta"] = beta

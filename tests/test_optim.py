@@ -131,6 +131,43 @@ def test_stochastic_rounding_negative_and_exact():
     assert abs(sr_mean - (-(1.0 + 0.7 * ulp))) < 0.02 * ulp
 
 
+def test_fused_sr_unbiased_and_exact():
+    """The fused hash-dither SR (zero-HBM-traffic path used by FusedAdamW)
+    matches the RBG path's statistical contract: unbiased mean on a
+    mid-ulp value, exact passthrough of representables, outputs confined
+    to the two bracketing representables, and decorrelated across seeds."""
+    import jax.numpy as jnp
+    from simulgen_vae_tpu.train.optim import _sr_round_bf16_fused
+
+    ulp = 2.0 ** -7
+    val = 1.0 + 0.3 * ulp
+    x = jnp.full((200_000,), val, jnp.float32)
+    sr = _sr_round_bf16_fused(x, jnp.uint32(12345))
+    sr_mean = float(jnp.mean(sr.astype(jnp.float32)))
+    assert abs(sr_mean - val) < 0.02 * ulp
+    uniq = np.unique(np.asarray(sr, np.float32))
+    assert set(uniq) <= {1.0, 1.0 + ulp}
+
+    exact = jnp.asarray([0.0, 1.0, -2.5, 0.00390625], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_sr_round_bf16_fused(exact, jnp.uint32(7)), np.float32),
+        np.asarray(exact))
+
+    # negatives: unbiased in magnitude
+    xn = jnp.full((200_000,), -(1.0 + 0.7 * ulp), jnp.float32)
+    m = float(jnp.mean(_sr_round_bf16_fused(
+        xn, jnp.uint32(99)).astype(jnp.float32)))
+    assert abs(m - (-(1.0 + 0.7 * ulp))) < 0.02 * ulp
+
+    # different seeds give different roundings (step decorrelation), and
+    # per-seed up-fractions agree with the true fraction
+    a = np.asarray(_sr_round_bf16_fused(x, jnp.uint32(1)), np.float32)
+    b = np.asarray(_sr_round_bf16_fused(x, jnp.uint32(2)), np.float32)
+    assert (a != b).mean() > 0.2
+    for arr in (a, b):
+        assert abs((arr > 1.0).mean() - 0.3) < 0.02
+
+
 def test_sr_bf16_moments_track_f32():
     """Full-bf16 moments WITH stochastic rounding stay within the same
     drift band as the deterministic bf16 path over a multi-step run, and

@@ -101,3 +101,41 @@ def test_bf16_training_runs(scaled_data):
     assert np.isfinite(hist["loss"]).all()
     # params stay f32
     assert all(p.dtype == np.float32 for p in jax.tree.leaves(state.params))
+
+
+@pytest.mark.slow
+def test_sn_per_epoch_cadence(scaled_data, monkeypatch):
+    """SIMULGEN_SN_PER_EPOCH=1 refreshes the power iteration at the epoch
+    boundary only.  With ONE batch per epoch the per-step and per-epoch
+    cadences are mathematically identical (the only refresh IS the step-0
+    refresh); with several batches the run must still train stably."""
+    import jax.numpy as jnp
+
+    # exact-equivalence geometry: batch_size == num_param -> 1 step/epoch
+    cfg = small_cfg(n_epochs=4, batch_size=16)
+    base = VAETrainer(cfg)
+    s0 = base.init_state(jax.random.PRNGKey(5))
+    ref_state, ref_m = base._train_epoch(s0, scaled_data,
+                                         jax.random.PRNGKey(6))
+
+    monkeypatch.setenv("SIMULGEN_SN_PER_EPOCH", "1")
+    hoisted = VAETrainer(cfg)
+    s0b = hoisted.init_state(jax.random.PRNGKey(5))
+    h_state, h_m = hoisted._train_epoch(s0b, scaled_data,
+                                        jax.random.PRNGKey(6))
+    np.testing.assert_allclose(float(ref_m["loss"]), float(h_m["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(h_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # multi-batch: still trains, u stays unit-norm
+    cfg2 = small_cfg(n_epochs=8)
+    tr = VAETrainer(cfg2)
+    state, hist = tr.fit(scaled_data, jax.random.PRNGKey(7), epochs=8)
+    assert np.isfinite(hist["loss"]).all()
+    first, last = np.mean(hist["recon"][:2]), np.mean(hist["recon"][-2:])
+    assert last < first, (first, last)
+    for u in jax.tree.leaves(state.sn_u):
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(u)), 1.0,
+                                   rtol=1e-4)
