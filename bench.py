@@ -347,6 +347,12 @@ def main():
         os.environ.setdefault("SIMULGEN_OPT_MOMENT_DTYPE", "bfloat16")
         os.environ.setdefault("SIMULGEN_OPT_NU_DTYPE", "bfloat16")
         os.environ.setdefault("SIMULGEN_OPT_SR", "1")
+        # Spectral-norm power iteration refreshed once per EPOCH instead of
+        # per step (the iteration is stop-gradded but costs two HBM reads of
+        # the ~310M-param kernel set each step).  Quality h2h in-band: MSE
+        # ratio 1.023 vs torch per-step SN (docs/PARITY.md "Spectral-norm
+        # cadence", docs/artifacts/h2h_snpe_medium.json).
+        os.environ.setdefault("SIMULGEN_SN_PER_EPOCH", "1")
     else:
         num_node, num_time, batch = 2048, 50, 16
         filters = [64, 32, 16, 8]
@@ -419,7 +425,8 @@ def main():
     result = {
         "metric": "samples/sec/chip (VAE train step, batch 16, "
                   f"{num_time}x{num_node}, {resident_samples}-sample "
-                  "HBM-resident subset, bf16, opt m+v=bf16 fused-SR)"
+                  "HBM-resident subset, bf16, opt m+v=bf16 fused-SR, "
+                  "sn/epoch)"
                   if on_tpu else
                   "samples/sec/chip (VAE train step, CPU-scaled geometry)",
         "value": round(sps_per_chip, 3),
