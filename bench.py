@@ -197,7 +197,7 @@ def bench_quality(epochs: int = 4000):
 
 
 def generate_sweep(batch_sizes=(1, 4, 16, 64), reps: int = 30,
-                   pallas: bool = False):
+                   pallas: bool = False, quant: bool = False):
     """Serving sweep: per-batch-size latency distribution (p50/p95/p99 ms)
     and throughput of the one-graph generate pipeline (deterministic
     conditioner-latents -> field decode, mode='fix'), flagship geometry.
@@ -234,8 +234,21 @@ def generate_sweep(batch_sizes=(1, 4, 16, 64), reps: int = 30,
     params = model.init({"params": key, "sample": key}, x)["params"]
     n_levels = len(filters) - 1
 
-    gen = jax.jit(lambda p, z_, xs_: model.apply(
-        {"params": p}, z_, xs_, method=model.generate, rngs={"sample": key}))
+    extra_vars = {}
+    if quant:
+        # int8 decoder weights on the 2x-rate MXU (ops/quant.py)
+        from simulgen_vae_tpu.ops.quant import build_quant_collection
+
+        extra_vars["quant"] = {
+            "decoder": build_quant_collection(params["decoder"])}
+
+    # Variables ride as jit ARGUMENTS, not closure constants: closed-over
+    # arrays embed into the HLO module, which this container's remote-compile
+    # tunnel rejects for large programs (HTTP 413) and which bloats compile
+    # time everywhere else.
+    gen = jax.jit(lambda p, q, z_, xs_: model.apply(
+        {"params": p, **q}, z_, xs_, method=model.generate,
+        rngs={"sample": key}))
 
     # Host-sync floor: p50 of a scalar readback of an already-computed value.
     # On this container the TPU rides a network tunnel (~28 ms RTT) that a
@@ -256,12 +269,12 @@ def generate_sweep(batch_sizes=(1, 4, 16, 64), reps: int = 30,
                         .astype(np.float32))
         xs = [jnp.asarray(np.tanh(rng.standard_normal((batch, 8)))
                           .astype(np.float32)) for _ in range(n_levels - 1)]
-        out = gen(params, z, xs)
+        out = gen(params, extra_vars, z, xs)
         _ = float(jnp.sum(out.astype(jnp.float32)))  # compile + sync
         lat = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = gen(params, z, xs)
+            out = gen(params, extra_vars, z, xs)
             _ = float(jnp.sum(out.astype(jnp.float32)))  # per-rep sync
             lat.append((time.perf_counter() - t0) * 1e3)
         lat = np.asarray(lat)
@@ -293,9 +306,12 @@ def bench_generate():
     sweep, (t, node, dt, sync_ms) = generate_sweep()
     on_tpu = jax.default_backend() == "tpu"
     pallas16 = None
+    int8_sweep = None
     if on_tpu:
         ps, _ = generate_sweep(batch_sizes=(16,), pallas=True)
         pallas16 = ps[16]["samples_per_sec"]
+        qs, _ = generate_sweep(batch_sizes=(16, 64), quant=True)
+        int8_sweep = {str(k): v for k, v in qs.items()}
     best_batch = max(sweep, key=lambda b: sweep[b]["samples_per_sec"])
     best = sweep[best_batch]["samples_per_sec"]
     print(json.dumps({
@@ -305,6 +321,7 @@ def bench_generate():
         "vs_baseline": None,
         "extra": {"sweep": {str(k): v for k, v in sweep.items()},
                   "pallas_gn_batch16_sps": pallas16,
+                  "int8_decoder_sweep": int8_sweep,
                   "host_sync_floor_p50_ms": sync_ms,
                   "note": "per-rep scalar-readback sync: percentiles include"
                           " the host round trip (this container tunnels the"

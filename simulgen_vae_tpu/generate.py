@@ -100,7 +100,8 @@ def load_pipeline(condition: str = "input_data/condition.txt",
                 data_scaler=data_scaler)
 
 
-def make_generate_fn(pipeline: dict, descale_output: bool = True):
+def make_generate_fn(pipeline: dict, descale_output: bool = True,
+                     quantize: str | None = None):
     """Build ONE jitted serving function: conditioner -> latent descale ->
     decoder -> (optional) physical-unit descale, entirely on device.
 
@@ -109,6 +110,12 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True):
     stages (the reference pipes through numpy/sklearn between every stage,
     reconstruction_evaluator.py:160-178).  The returned fn maps a
     preprocessed input batch -> fields ``[N, time, nodes]``.
+
+    ``quantize="int8"`` pre-quantizes the DECODER's matmul/conv weights to
+    int8 (per-output-channel) and runs them on the v5e's 2x-rate int8 MXU
+    with dynamic per-tensor activation quantization (``ops/quant.py``).
+    Norms, biases, and the conditioner stay float.  Opt-in; measured
+    quality/throughput in docs/PERF.md "Int8 serving decode".
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +124,16 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True):
 
     lc_model = pipeline["lc_model"]
     vae_model = pipeline["vae_model"]
+    vae_vars = dict(pipeline["vae_vars"])
+    if quantize == "int8":
+        from simulgen_vae_tpu.ops.quant import build_quant_collection
+
+        vae_vars["quant"] = {
+            "decoder": build_quant_collection(vae_vars["params"]["decoder"])
+        }
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
     lv_min = jnp.asarray(pipeline["lv_scaler"].min_, jnp.float32)
     lv_scale = jnp.asarray(pipeline["lv_scaler"].scale_, jnp.float32)
     xs_min = jnp.asarray(pipeline["xs_scaler"].min_, jnp.float32)
@@ -126,26 +143,30 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True):
     d_scale = jnp.asarray(ds.scale_, jnp.float32)
     key = jax.random.PRNGKey(0)  # mode='fix' decode draws nothing
 
+    # Weights ride as jit ARGUMENTS (not closure constants): closed-over
+    # arrays embed into the lowered HLO module, bloating compiles — and the
+    # flagship decoder's weights alone are hundreds of MB.
     @jax.jit
-    def run(inputs):
-        y1, y2 = lc_model.apply(pipeline["lc_vars"], inputs,
-                                deterministic=True)
+    def run(vae_v, lc_v, inputs):
+        y1, y2 = lc_model.apply(lc_v, inputs, deterministic=True)
         z = (y1 - lv_min) / lv_scale
         b, nh, hd = y2.shape
         xs_flat = (y2.reshape(b, nh * hd) - xs_min) / xs_scale
         xs = [xs_flat.reshape(b, nh, hd)[:, i] for i in range(nh)]
-        field = vae_model.apply(pipeline["vae_vars"], z, xs,
+        field = vae_model.apply(vae_v, z, xs,
                                 method=VAE.generate, rngs={"sample": key})
         if descale_output:
             f32 = field.astype(jnp.float32)
             field = (f32 - d_min) / d_scale
         return field
 
-    return run
+    lc_vars = pipeline["lc_vars"]
+    return lambda inputs: run(vae_vars, lc_vars, inputs)
 
 
 def generate(pipeline: dict, inputs: np.ndarray,
-             descale_output: bool = True) -> np.ndarray:
+             descale_output: bool = True,
+             quantize: str | None = None) -> np.ndarray:
     """Design inputs -> simulation fields ``[N, time, nodes]``.
 
     ``inputs`` are already preprocessed conditioner inputs (scaled CSV rows
@@ -156,10 +177,10 @@ def generate(pipeline: dict, inputs: np.ndarray,
     """
     import jax.numpy as jnp
 
-    cache_key = ("_gen_fn", bool(descale_output))
+    cache_key = ("_gen_fn", bool(descale_output), quantize)
     fn = pipeline.get(cache_key)
     if fn is None:
-        fn = make_generate_fn(pipeline, descale_output)
+        fn = make_generate_fn(pipeline, descale_output, quantize=quantize)
         pipeline[cache_key] = fn
     return np.asarray(fn(jnp.asarray(inputs)))
 
@@ -180,6 +201,9 @@ def main(argv=None) -> int:
     ap.add_argument("--model_dir", default="model_save")
     ap.add_argument("--raw_scale", action="store_true",
                     help="skip inverse data scaling (keep model units)")
+    ap.add_argument("--quantize", default=None, choices=[None, "int8"],
+                    help="int8-quantize the decoder matmuls for 2x-rate "
+                         "MXU serving (quality measured in docs/PERF.md)")
     args = ap.parse_args(argv)
 
     pipe = load_pipeline(args.condition, args.preset_file, args.size,
@@ -208,7 +232,8 @@ def main(argv=None) -> int:
         inputs = np.asarray(in_scaler.transform(raw))
 
     fields = generate(pipe, np.float32(inputs),
-                      descale_output=not args.raw_scale)
+                      descale_output=not args.raw_scale,
+                      quantize=args.quantize)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     np.save(args.out, fields)
     print(f"Generated {fields.shape[0]} fields "

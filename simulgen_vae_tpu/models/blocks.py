@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from simulgen_vae_tpu.ops.groupnorm_gelu import group_norm_gelu
+from simulgen_vae_tpu.ops.quant import int8_conv1d_same, int8_dot, quant_vars
 
 # He (Kaiming) uniform, matching torch kaiming_uniform_ with relu gain:
 # bound = sqrt(6 / fan_in).
@@ -152,7 +153,15 @@ class _ConvCore(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        y = conv1d_same(x, kernel)
+        kq, ks = quant_vars(self)
+        if kq is not None:
+            # Int8 serving path (ops/quant.py): weights pre-quantized
+            # per-output-channel, activations quantized per-tensor inline,
+            # int32 accumulate on the MXU, f32 rescale.  Opt-in via a
+            # "quant" collection from build_quant_collection.
+            y = int8_conv1d_same(x, kq, ks).astype(x.dtype)
+        else:
+            y = conv1d_same(x, kernel)
         if inv is not None:
             y = y * inv.astype(y.dtype)
         return y + bias
@@ -296,7 +305,11 @@ class _DenseCore(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        y = jnp.dot(x, kernel)
+        kq, ks = quant_vars(self)
+        if kq is not None:
+            y = int8_dot(x, kq, ks).astype(x.dtype)
+        else:
+            y = jnp.dot(x, kernel)
         if inv is not None:
             y = y * inv.astype(y.dtype)
         return y + bias
@@ -381,8 +394,12 @@ class FusedPointwiseNormTanh(nn.Module):
                 # grad-tracked input (round-3 HLO: 1.2 GB/step).
                 h = (h.astype(jnp.float32) * inv).astype(h.dtype)
                 inv = None
-            y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
-                           preferred_element_type=jnp.float32)
+            kq, ks = quant_vars(self)
+            if kq is not None:
+                y = int8_dot(h, kq, ks)
+            else:
+                y = jnp.einsum("btf,fc->btc", h, kernel.astype(h.dtype),
+                               preferred_element_type=jnp.float32)
             if inv is not None:
                 y = y * inv
             y = (y + bias.astype(jnp.float32)).astype(h.dtype)

@@ -1,0 +1,118 @@
+"""Int8 serving quantization (ops/quant.py + the quant hooks in blocks.py).
+
+Covers: per-channel weight round-trip, int8 dot/conv vs float reference,
+the flax "quant" collection dispatch in the linear cores, and the full
+quantized generate path staying close to the float decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simulgen_vae_tpu.ops.quant import (
+    build_quant_collection,
+    int8_conv1d_same,
+    int8_dot,
+    quantize_kernel,
+)
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 64, 32)).astype(np.float32)
+    w[:, :, 5] *= 40.0  # per-channel scaling must absorb outlier columns
+    kq, s = quantize_kernel(w)
+    assert kq.dtype == np.int8 and s.shape == (32,)
+    w_hat = kq.astype(np.float32) * s
+    err = np.abs(w_hat - w).max(axis=(0, 1)) / np.abs(w).max(axis=(0, 1))
+    assert err.max() < 1.0 / 127  # symmetric rounding bound per channel
+
+
+def test_quantize_kernel_zero_column_safe():
+    w = np.zeros((1, 8, 4), np.float32)
+    kq, s = quantize_kernel(w)
+    assert np.all(kq == 0) and np.all(np.isfinite(s))
+
+
+def test_int8_dot_close_to_f32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 20, 64)).astype(np.float32))
+    w = rng.standard_normal((64, 48)).astype(np.float32)
+    kq, s = quantize_kernel(w)
+    y = int8_dot(x, jnp.asarray(kq), jnp.asarray(s))
+    ref = np.asarray(x) @ w
+    rel = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_int8_conv_close_to_f32(k):
+    from simulgen_vae_tpu.models.blocks import conv1d_same
+
+    rng = np.random.default_rng(k)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    w = rng.standard_normal((k, 32, 24)).astype(np.float32)
+    kq, s = quantize_kernel(w)
+    y = int8_conv1d_same(x, jnp.asarray(kq), jnp.asarray(s))
+    ref = np.asarray(conv1d_same(x, jnp.asarray(w)))
+    rel = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+
+
+def test_conv_core_quant_collection_dispatch():
+    from simulgen_vae_tpu.models.blocks import Conv1d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    m = Conv1d(12, 3)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y_f32 = m.apply(variables, x)
+    quant = build_quant_collection(variables["params"])
+    y_q = m.apply({"params": variables["params"], "quant": quant}, x)
+    rel = (np.linalg.norm(np.asarray(y_q) - np.asarray(y_f32))
+           / np.linalg.norm(np.asarray(y_f32)))
+    assert 0 < rel < 0.03, rel  # quant path engaged AND close
+
+
+def test_build_quant_collection_mirrors_paths():
+    params = {
+        "dec_block_0": {"Conv1d_0": {"Conv_0": {
+            "kernel": np.ones((1, 8, 4), np.float32),
+            "bias": np.zeros(4, np.float32)}}},
+        "norm": {"scale": np.ones(4, np.float32)},
+    }
+    q = build_quant_collection(params)
+    leaf = q["dec_block_0"]["Conv1d_0"]["Conv_0"]
+    assert set(leaf) == {"kernel_q", "kernel_s"}
+    assert "norm" not in q  # no kernels below -> pruned
+
+
+def test_quantized_generate_close_to_float():
+    """Whole decoder through the quant path: VAE.generate with a 'quant'
+    collection stays close to the float decode (random weights — the
+    trained-model quality measurement lives in scripts/probe_quant_serving
+    and docs/PERF.md)."""
+    from simulgen_vae_tpu.models.vae import VAE
+
+    filters = [32, 16, 8]
+    model = VAE(latent_dim=8, hierarchical_dim=4, num_filter_enc=filters,
+                num_filter_dec=filters[::-1], num_node=64, num_time=12,
+                small=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)).astype(np.float32) * .3)
+    variables = model.init({"params": key, "sample": key}, x)
+
+    z = jnp.asarray(np.tanh(rng.standard_normal((3, 8))).astype(np.float32))
+    xs = [jnp.asarray(np.tanh(rng.standard_normal((3, 4))).astype(np.float32))
+          for _ in range(len(filters) - 1)]
+    gen = lambda v: model.apply(v, z, xs, method=VAE.generate,
+                                rngs={"sample": key})
+    f_ref = np.asarray(gen({"params": variables["params"]}))
+    quant = {"decoder": build_quant_collection(
+        variables["params"]["decoder"])}
+    f_q = np.asarray(gen({"params": variables["params"], "quant": quant}))
+    rel = np.linalg.norm(f_q - f_ref) / max(np.linalg.norm(f_ref), 1e-9)
+    assert rel < 0.05, rel
+    assert not np.allclose(f_q, f_ref)  # the int8 path actually ran
