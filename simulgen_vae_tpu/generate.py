@@ -101,7 +101,7 @@ def load_pipeline(condition: str = "input_data/condition.txt",
 
 
 def make_generate_fn(pipeline: dict, descale_output: bool = True,
-                     quantize: str | None = None):
+                     quantize: str | None = None, mesh=None):
     """Build ONE jitted serving function: conditioner -> latent descale ->
     decoder -> (optional) physical-unit descale, entirely on device.
 
@@ -116,6 +116,13 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True,
     with dynamic per-tensor activation quantization (``ops/quant.py``).
     Norms, biases, and the conditioner stay float.  Opt-in; measured
     quality/throughput in docs/PERF.md "Int8 serving decode".
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with ``data``/``model`` axes, see
+    ``parallel.mesh.make_mesh``) shards serving like training: requests over
+    ``data``, every node-sized decoder tensor (readout kernel/bias/GN
+    affines, the output fields, and their int8 mirrors) over ``model`` —
+    GSPMD inserts the collectives, so one compiled graph serves from N
+    chips' combined HBM and MXUs.
     """
     import jax
     import jax.numpy as jnp
@@ -161,6 +168,24 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True,
         return field
 
     lc_vars = pipeline["lc_vars"]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simulgen_vae_tpu.parallel.sharding import param_shardings
+
+        num_node = pipeline["cfg"].num_node
+        vae_vars = jax.device_put(
+            vae_vars, param_shardings(vae_vars, mesh, num_node))
+        lc_vars = jax.device_put(
+            lc_vars, param_shardings(lc_vars, mesh, num_node))
+
+        def sharded(inputs):
+            if inputs.shape[0] % mesh.shape["data"] == 0:
+                inputs = jax.device_put(
+                    inputs, NamedSharding(mesh, P("data")))
+            return run(vae_vars, lc_vars, inputs)
+
+        return sharded
     return lambda inputs: run(vae_vars, lc_vars, inputs)
 
 
