@@ -52,6 +52,7 @@ def _inputs(batch=4):
     return jnp.asarray(rng.standard_normal((batch, 4)).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_sharded_generate_matches_single_device(pipeline):
     x = _inputs()
     ref = np.asarray(make_generate_fn(dict(pipeline))(x))
@@ -61,6 +62,7 @@ def test_sharded_generate_matches_single_device(pipeline):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_generate_int8(pipeline):
     x = _inputs()
     mesh = make_mesh(data=2, model=4)
@@ -71,6 +73,7 @@ def test_sharded_generate_int8(pipeline):
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_sharded_generate_odd_batch_falls_back(pipeline):
     """A batch that doesn't divide the data axis still runs (replicated)."""
     x = _inputs(batch=3)

@@ -88,6 +88,7 @@ def test_build_quant_collection_mirrors_paths():
     assert "norm" not in q  # no kernels below -> pruned
 
 
+@pytest.mark.slow
 def test_quantized_generate_close_to_float():
     """Whole decoder through the quant path: VAE.generate with a 'quant'
     collection stays close to the float decode (random weights — the
