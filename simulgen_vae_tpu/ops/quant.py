@@ -47,9 +47,17 @@ def quantize_kernel(kernel: np.ndarray):
 
 
 def _quantize_act(x: jax.Array):
-    """Dynamic per-tensor symmetric activation quantization -> (xq, sx)."""
+    """Dynamic PER-ROW symmetric activation quantization -> (xq, sx).
+
+    The contraction axis is the last one, so a per-row (leading-axes) scale
+    factors exactly out of the int32 dot: ``x ~= xq * sx`` with ``sx``
+    shaped ``x.shape[:-1] + (1,)``.  Per-row beats per-tensor materially on
+    converged models — a single outlier row no longer inflates every row's
+    quantization step (measured: flagship-filter decode MSE ratio 1.10
+    per-tensor -> see docs/PERF.md for the per-row number).
+    """
     x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32))
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     sx = jnp.maximum(amax, 1e-30) / 127.0
     xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
     return xq, sx
@@ -72,9 +80,11 @@ def int8_dot(x: jax.Array, kq: jax.Array, scale: jax.Array) -> jax.Array:
 def int8_conv1d_same(x: jax.Array, kq: jax.Array,
                      scale: jax.Array) -> jax.Array:
     """stride-1 SAME 1-D conv over ``[B, T, C]`` with int8 HIO kernel
-    ``[k, C, F]``: the input is quantized ONCE, each tap is an int8 matmul
-    on a shifted view, accumulation stays int32 (exact — no intermediate
-    rounding), one f32 rescale at the end."""
+    ``[k, C, F]``: the input is quantized ONCE (per-row scales), each tap is
+    an int8 matmul on a shifted view.  Because neighbouring rows carry
+    different scales, each tap's int32 partial is rescaled to f32 before the
+    cross-tap add (the matmuls stay int8; XLA fuses the rescale+add into the
+    epilogue)."""
     k = kq.shape[0]
     if k == 1:
         return int8_dot(x, kq[0], scale)
@@ -84,12 +94,13 @@ def int8_conv1d_same(x: jax.Array, kq: jax.Array,
     acc = None
     for d in range(k):
         xd = jax.lax.dynamic_slice_in_dim(xq, d, t, axis=1)
+        sd = jax.lax.dynamic_slice_in_dim(sx, d, t, axis=1)
         yd = jax.lax.dot_general(
             xd, kq[d], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )
+        ).astype(jnp.float32) * sd
         acc = yd if acc is None else acc + yd
-    return acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))
+    return acc * scale.astype(jnp.float32)
 
 
 def build_quant_collection(params: Dict[str, Any]) -> Dict[str, Any]:
