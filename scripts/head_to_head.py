@@ -367,16 +367,26 @@ def _extract_reference_latents(model, data_tn, filters):
 
 
 def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
-                      filters, filters_lc, lc_alpha, reg_weight, workdir):
+                      filters, filters_lc, lc_alpha, reg_weight, workdir,
+                      seed=0, vae_cache=None):
     """Full reference E2E path: torch VAE -> latents -> scalers ->
     train_latent_conditioner_e2e (csv-mode MLP, recon gradient severed by the
-    reference's own sklearn descale)."""
+    reference's own sklearn descale).
+
+    ``seed`` varies only the E2E phase (conditioner init, split, shuffling) —
+    the VAE leg is deterministic and reused across seeds via ``vae_cache``
+    (mirrors the rebuild side, so both sides share one frozen decoder per
+    study and seed spread measures the conditioner phase alone)."""
     import torch
     from torch.utils.data import DataLoader, random_split
 
-    # trains the torch VAE and saves workdir/model_save/SimulGen-VAE
-    ref_vae_mse, _, _, vae_wall = run_reference(
-        scaled, epochs_vae, batch, lr, alpha, filters, workdir)
+    if vae_cache is None:
+        # trains the torch VAE and saves workdir/model_save/SimulGen-VAE
+        ref_vae_mse, _, _, vae_wall = run_reference(
+            scaled, epochs_vae, batch, lr, alpha, filters, workdir)
+        vae_cache = {"vae_mse": ref_vae_mse, "vae_wall": vae_wall}
+    ref_vae_mse = vae_cache["vae_mse"]
+    vae_wall = vae_cache["vae_wall"]
 
     from modules.data_preprocess import latent_conditioner_scaler as ref_lcs
     from modules.latent_conditioner_e2e import train_latent_conditioner_e2e
@@ -400,7 +410,7 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                                      "model_save/xs_scaler.pkl")
         y2 = y2_flat.reshape(num_param, size2, latent_dim)
 
-        torch.manual_seed(0)
+        torch.manual_seed(seed)
         lc = LatentConditioner(filters_lc, y1.shape[1], x.shape[1],
                                latent_dim, size2, dropout_rate=0.1)
         ds = E2ELatentConditionerDataset(
@@ -408,7 +418,7 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
             np.float32(data_tn), load_all=False)
         n_train = int(0.7 * num_param)
         tr, va = random_split(ds, [n_train, num_param - n_train],
-                              generator=torch.Generator().manual_seed(0))
+                              generator=torch.Generator().manual_seed(seed))
         dl = DataLoader(tr, batch_size=batch, shuffle=True, drop_last=True)
         vdl = DataLoader(va, batch_size=batch, shuffle=False)
 
@@ -442,12 +452,12 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
         os.chdir(cwd)
     return {"recon_mse": recon_mse, "reg_main_mse": reg_main,
             "reg_hier_mse": reg_hier, "vae_recon_mse": ref_vae_mse,
-            "wall_sec": wall, "vae_wall_sec": vae_wall}
+            "wall_sec": wall, "vae_wall_sec": vae_wall}, vae_cache
 
 
 def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                     filters, filters_lc, lc_alpha, reg_weight,
-                    sever_recon_gradient=False, vae_cache=None):
+                    sever_recon_gradient=False, vae_cache=None, seed=0):
     """Full rebuild E2E path; ``sever_recon_gradient=True`` replicates the
     reference's detached recon term to isolate the gradient fix."""
     import jax
@@ -488,7 +498,7 @@ def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
     )
     t0 = time.time()
     state, _ = trainer.fit(x, c["y1"], c["y2"], scaled,
-                           jax.random.PRNGKey(0), val_split=0.3)
+                           jax.random.PRNGKey(seed), val_split=0.3)
     wall = time.time() - t0
 
     # deterministic final eval mirroring the torch side
@@ -523,23 +533,33 @@ def stage_e2e(args):
     scaled = make_data(args.params, args.time, args.nodes)
     x, _, _ = make_lc_data(args.params, 4, 32, 8, 3)
 
-    print(f"== reference E2E: VAE {args.vae_epochs} ep + E2E {args.epochs} "
-          f"ep ==", flush=True)
-    ref = run_reference_e2e(scaled, x, args.vae_epochs, args.epochs,
-                            args.batch, args.lr, args.alpha, filters,
-                            filters_lc, args.lc_alpha, args.reg_weight,
-                            args.workdir)
-    print(f"reference: recon={ref['recon_mse']:.3e} "
-          f"reg_main={ref['reg_main_mse']:.3e} "
-          f"reg_hier={ref['reg_hier_mse']:.3e}", flush=True)
+    # one frozen decoder per side (the VAE legs are seed-0 deterministic and
+    # expensive); --seeds varies the conditioner phase only, mirroring
+    # stage_lc: at tens of samples the seed spread rivals the ref-vs-rebuild
+    # gap, so single seeds mislead.
+    refs, ours_list = [], []
+    ref_cache = cache = None
+    for seed in range(args.seeds):
+        print(f"== seed {seed}: reference E2E: VAE {args.vae_epochs} ep + "
+              f"E2E {args.epochs} ep ==", flush=True)
+        ref, ref_cache = run_reference_e2e(
+            scaled, x, args.vae_epochs, args.epochs, args.batch, args.lr,
+            args.alpha, filters, filters_lc, args.lc_alpha, args.reg_weight,
+            args.workdir, seed=seed, vae_cache=ref_cache)
+        print(f"reference[{seed}]: recon={ref['recon_mse']:.3e} "
+              f"reg_main={ref['reg_main_mse']:.3e} "
+              f"reg_hier={ref['reg_hier_mse']:.3e}", flush=True)
+        refs.append(ref)
 
-    print(f"== rebuild E2E (fixed gradient) ==", flush=True)
-    ours, cache = run_rebuild_e2e(scaled, x, args.vae_epochs, args.epochs,
-                                  args.batch, args.lr, args.alpha, filters,
-                                  filters_lc, args.lc_alpha, args.reg_weight)
-    print(f"rebuild:   recon={ours['recon_mse']:.3e} "
-          f"reg_main={ours['reg_main_mse']:.3e} "
-          f"reg_hier={ours['reg_hier_mse']:.3e}", flush=True)
+        print(f"== seed {seed}: rebuild E2E (fixed gradient) ==", flush=True)
+        ours, cache = run_rebuild_e2e(
+            scaled, x, args.vae_epochs, args.epochs, args.batch, args.lr,
+            args.alpha, filters, filters_lc, args.lc_alpha, args.reg_weight,
+            vae_cache=cache, seed=seed)
+        print(f"rebuild[{seed}]:   recon={ours['recon_mse']:.3e} "
+              f"reg_main={ours['reg_main_mse']:.3e} "
+              f"reg_hier={ours['reg_hier_mse']:.3e}", flush=True)
+        ours_list.append(ours)
 
     print(f"== rebuild E2E (severed gradient, reference-defect probe) ==",
           flush=True)
@@ -550,6 +570,11 @@ def stage_e2e(args):
     print(f"severed:   recon={severed['recon_mse']:.3e} "
           f"reg_main={severed['reg_main_mse']:.3e}", flush=True)
 
+    def agg(runs):
+        return {k: float(np.mean([r[k] for r in runs])) for k in runs[0]} | {
+            "recon_mse_per_seed": [r["recon_mse"] for r in runs]}
+
+    ref, ours = agg(refs), agg(ours_list)
     return {
         "stage": "e2e", "config": vars(args),
         "reference": ref, "rebuild_fixed_gradient": ours,
