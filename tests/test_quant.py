@@ -60,6 +60,27 @@ def test_int8_conv_close_to_f32(k):
     assert rel < 0.03, rel
 
 
+def test_int8_dot_per_row_scales_survive_outlier_row():
+    """One huge row must not inflate every other row's quantization step.
+
+    This is the regression the per-row activation scales fix: with a single
+    per-TENSOR scale, a 100x outlier row costs the small rows ~2 bits of
+    mantissa and the flagship-filter decode measured recon-MSE ratio 1.10
+    (docs/PERF.md 'Int8 serving decode'); per-row scales keep every row's
+    relative error at the symmetric-rounding bound."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    x[3] *= 100.0  # outlier row
+    w = rng.standard_normal((64, 48)).astype(np.float32)
+    kq, s = quantize_kernel(w)
+    y = np.asarray(int8_dot(jnp.asarray(x), jnp.asarray(kq), jnp.asarray(s)))
+    ref = x @ w
+    # per-ROW relative error: small rows stay accurate despite row 3
+    row_rel = (np.linalg.norm(y - ref, axis=-1)
+               / np.linalg.norm(ref, axis=-1))
+    assert row_rel.max() < 0.02, row_rel
+
+
 def test_conv_core_quant_collection_dispatch():
     from simulgen_vae_tpu.models.blocks import Conv1d
 
