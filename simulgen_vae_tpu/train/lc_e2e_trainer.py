@@ -46,6 +46,43 @@ E2E_LOSS_MAP = {
     "SmoothL1": "SmoothL1",   # beta=0.1 (e2e.py:257)
 }
 
+_he_uniform = jax.nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def reference_e2e_reinit(params, key: jax.Array):
+    """Re-initialize conditioner params with the reference E2E trainer's own
+    scheme (``latent_conditioner_e2e.py:274-295``), which OVERRIDES the
+    model's construction-time init:
+
+    * Linear with ``out_features <= 64`` (i.e. every prediction head, and at
+      small LC widths effectively every layer): ``normal(0, 0.1)``;
+    * other Linear / all Conv: Kaiming-uniform (relu gain);
+    * all biases zero; Group/Layer/BatchNorm scale 1, bias 0.
+
+    Round 3's E2E head-to-head ran WITHOUT this re-init (rebuild kept
+    He-uniform everywhere) and its reg-only arm trailed the reference's
+    reg-only training ~2x in latent MSE — this is the parity fix.
+    """
+    flat = jax.tree.leaves_with_path(params)
+    keys = jax.random.split(key, max(len(flat), 1))
+
+    def _reinit(path, leaf, k):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "bias":
+            return jnp.zeros_like(leaf)
+        if name == "scale":
+            return jnp.ones_like(leaf)
+        if name == "kernel":
+            if leaf.ndim == 2 and leaf.shape[1] <= 64:
+                return (0.1 * jax.random.normal(k, leaf.shape)).astype(
+                    leaf.dtype)
+            return _he_uniform(k, leaf.shape, leaf.dtype)
+        return leaf
+
+    rebuilt = [_reinit(p, l, k) for (p, l), k in zip(flat, keys)]
+    treedef = jax.tree.structure(params)
+    return jax.tree.unflatten(treedef, rebuilt)
+
 
 def hybrid_clip(min_norm: float = 1e-5, max_norm: float = 10.0):
     """Scale gradients up to min_norm / down to max_norm (e2e.py:414-445)."""
@@ -74,7 +111,9 @@ class E2ETrainer:
                  use_latent_regularization: bool = True,
                  latent_reg_weight: float = 1e-3,
                  sn_filter: Optional[Callable] = None,
-                 sever_recon_gradient: bool = False):
+                 sever_recon_gradient: bool = False,
+                 reinit: bool = True,
+                 decode_mode: str = "random"):
         self.lc_model = lc_model
         self.vae_model = vae_model
         # Freeze the decoder (e2e.py:45-49).
@@ -94,6 +133,16 @@ class E2ETrainer:
         # carries no gradient and only latent regularization trains.  Used by
         # scripts/head_to_head.py --stage e2e to quantify the fixed gradient.
         self.sever_recon_gradient = sever_recon_gradient
+        # Reference parity: the E2E trainer re-inits the conditioner with its
+        # own scheme (e2e.py:274-295).  reinit=False keeps the model's
+        # construction-time init instead.
+        self.reinit = reinit
+        # Decoder mode for the training-time recon term.  The reference uses
+        # the decoder default 'random' (e2e.py:371) but EVALUATES with
+        # mode='fix' — a train/test mismatch.  'fix' trains against the same
+        # deterministic decode the evaluator uses; only meaningful with the
+        # fixed (non-severed) gradient.
+        self.decode_mode = decode_mode
         self.tx = optax.chain(
             hybrid_clip(1e-5, 10.0),
             optax.inject_hyperparams(optax.adamw)(
@@ -111,6 +160,8 @@ class E2ETrainer:
             {"params": key, "dropout": key}, x, deterministic=True
         )
         params = variables["params"]
+        if self.reinit:
+            params = reference_e2e_reinit(params, jax.random.fold_in(key, 1))
         batch_stats = variables.get("batch_stats", {})
         sn_u = (init_sn_state(params, key, filter_fn=self.sn_filter)
                 if self.sn_filter is not None else {})
@@ -135,7 +186,7 @@ class E2ETrainer:
     def _decode(self, z, xs_stacked, key):
         xs_list = [xs_stacked[:, i] for i in range(xs_stacked.shape[1])]
         out, _, _ = self.vae_model.apply(
-            {"params": self.vae_params}, z, xs_list,
+            {"params": self.vae_params}, z, xs_list, mode=self.decode_mode,
             method=VAE.decode, rngs={"sample": key},
         )
         return out

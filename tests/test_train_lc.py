@@ -167,3 +167,41 @@ def test_e2e_training_runs(lc_data, tiny_vae):
                               epochs=5)
     assert np.isfinite(hist["loss"]).all()
     assert (hist["grad_norm"] >= 1e-5 - 1e-9).all()  # hybrid clip floor
+
+
+def test_e2e_reference_reinit(lc_data, tiny_vae):
+    """E2ETrainer applies the reference E2E trainer's own re-init scheme
+    (latent_conditioner_e2e.py:274-295): normal(0, 0.1) for Linear kernels
+    with out_features <= 64, zero biases, norm scales 1."""
+    x, _, _ = lc_data
+    vae_model, vae_params = tiny_vae
+    lc = LatentConditioner([48, 48], 8, 16, 3, 2, dropout_rate=0.0)
+    kwargs = dict(
+        latent_scaler=FakeScaler(0.5, 0.1), xs_scaler=FakeScaler(0.5, 0.1),
+        epochs=2, lr=1e-3, batch_size=8,
+    )
+    t_on = E2ETrainer(lc, vae_model, vae_params, reinit=True, **kwargs)
+    t_off = E2ETrainer(lc, vae_model, vae_params, reinit=False, **kwargs)
+    s_on = t_on.init_state(jax.random.PRNGKey(0), x)
+    s_off = t_off.init_state(jax.random.PRNGKey(0), x)
+
+    import jax.tree_util as jtu
+    stds, any_kernel = [], False
+    for path, leaf in jtu.tree_leaves_with_path(s_on.params):
+        name = path[-1].key
+        if name == "bias":
+            assert float(jnp.abs(leaf).max()) == 0.0
+        elif name == "scale":
+            assert float(jnp.abs(leaf - 1.0).max()) == 0.0
+        elif name == "kernel" and leaf.ndim == 2 and leaf.shape[1] <= 64:
+            any_kernel = True
+            stds.append(float(jnp.std(leaf)))
+    assert any_kernel
+    # normal(0, 0.1) across many elements
+    assert 0.05 < float(np.mean(stds)) < 0.15
+
+    # reinit=False keeps the model's construction-time init (He-uniform),
+    # which differs from the reinit
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        s_on.params, s_off.params)
+    assert max(jax.tree.leaves(diff)) > 1e-3
