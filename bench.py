@@ -354,22 +354,17 @@ def main():
         resident_samples = 64   # HBM-resident subset of the 484-sample set
         dtype = "bfloat16"
         epochs = 6              # timed epochs (median-of-epochs reported)
-        # Quality-verified optimizer-state precision for the benched config
-        # (docs/PARITY.md "Optimizer moment dtype"): BOTH moments in bf16
-        # with unbiased FUSED stochastic rounding on every downcast —
-        # medium-scale h2h MSE ratio 1.016
-        # (docs/artifacts/h2h_optm_srfused_medium.json), well inside the
-        # claimed ±5% band.  Deterministic bf16 v measured 1.052 (EMA
-        # rounding bias): SR is what makes full-bf16 state quality-safe.
-        os.environ.setdefault("SIMULGEN_OPT_MOMENT_DTYPE", "bfloat16")
-        os.environ.setdefault("SIMULGEN_OPT_NU_DTYPE", "bfloat16")
-        os.environ.setdefault("SIMULGEN_OPT_SR", "1")
-        # Spectral-norm power iteration refreshed once per EPOCH instead of
-        # per step (the iteration is stop-gradded but costs two HBM reads of
-        # the ~310M-param kernel set each step).  Quality h2h in-band: MSE
-        # ratio 1.023 vs torch per-step SN (docs/PARITY.md "Spectral-norm
-        # cadence", docs/artifacts/h2h_snpe_medium.json).
-        os.environ.setdefault("SIMULGEN_SN_PER_EPOCH", "1")
+        # The perf stack (bf16+SR optimizer moments, per-epoch SN) is NOT
+        # set here: since round 4 it is the VAEConfig "auto" default for
+        # bfloat16-on-TPU (config.resolve_perf_stack), so the bench measures
+        # exactly what `python -m simulgen_vae_tpu --dtype=bfloat16` ships.
+        # Quality evidence: docs/PARITY.md "Optimizer moment dtype" (h2h
+        # ratio 1.016) and "Spectral-norm cadence" (1.023).
+        from simulgen_vae_tpu.config import (BENCHED_TPU_STACK, VAEConfig,
+                                             resolve_perf_stack)
+
+        assert resolve_perf_stack(VAEConfig(dtype="bfloat16"),
+                                  backend="tpu") == BENCHED_TPU_STACK
     else:
         num_node, num_time, batch = 2048, 50, 16
         filters = [64, 32, 16, 8]

@@ -457,7 +457,8 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
 
 def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                     filters, filters_lc, lc_alpha, reg_weight,
-                    sever_recon_gradient=False, vae_cache=None, seed=0):
+                    sever_recon_gradient=False, vae_cache=None, seed=0,
+                    reinit=True, decode_mode="random"):
     """Full rebuild E2E path; ``sever_recon_gradient=True`` replicates the
     reference's detached recon term to isolate the gradient fix."""
     import jax
@@ -495,6 +496,7 @@ def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
         loss_function="MSE", lc_alpha=lc_alpha,
         use_latent_regularization=True, latent_reg_weight=reg_weight,
         sever_recon_gradient=sever_recon_gradient,
+        reinit=reinit, decode_mode=decode_mode,
     )
     t0 = time.time()
     state, _ = trainer.fit(x, c["y1"], c["y2"], scaled,

@@ -63,6 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="model-parallel mesh axis size (node-dim sharding)")
     parser.add_argument("--condition", default="input_data/condition.txt")
     parser.add_argument("--preset_file", default="preset.txt")
+    parser.add_argument("--opt_state_dtype", default="auto",
+                        choices=["auto", "float32", "bfloat16",
+                                 "bfloat16_rtn"],
+                        help="AdamW moment storage; auto = bf16 with "
+                             "stochastic rounding on TPU when --dtype="
+                             "bfloat16, else float32")
+    parser.add_argument("--sn_cadence", default="auto",
+                        choices=["auto", "step", "epoch"],
+                        help="spectral-norm power-iteration refresh; auto = "
+                             "per-epoch on TPU when --dtype=bfloat16, else "
+                             "per-step (torch parity)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--epochs", type=int, default=None,
@@ -142,6 +153,8 @@ def main(argv=None) -> int:
 
     cfg = VAEConfig.from_condition(config, num_filter_enc, small=small,
                                    dtype=args.dtype)
+    cfg.opt_state_dtype = args.opt_state_dtype
+    cfg.sn_cadence = args.sn_cadence
     if args.epochs is not None:
         cfg.n_epochs = args.epochs
     lc_cfg = LCConfig.from_condition(config, lc_filter)

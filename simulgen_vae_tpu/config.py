@@ -175,6 +175,24 @@ class VAEConfig:
     use_spectral_norm: bool = True
     remat: bool = False               # gradient checkpointing on block level
 
+    # Performance stack (first-class since round 4 — previously env-only,
+    # which left the benched configuration unreachable from the CLI).
+    # opt_state_dtype: AdamW moment storage.
+    #   "auto"     -> bfloat16+SR on TPU when dtype is bfloat16, else float32
+    #   "float32"  -> f32 moments (reference-equivalent numerics)
+    #   "bfloat16" -> bf16 m+v with fused stochastic rounding (quality h2h
+    #                 ratio 1.016, docs/artifacts/h2h_optm_srfused_medium.json)
+    #   "bfloat16_rtn" -> deterministic bf16 downcasts (probe only: EMA
+    #                 rounding bias measured 1.052, outside the ±5% band)
+    opt_state_dtype: str = "auto"
+    # sn_cadence: spectral-norm power-iteration refresh.
+    #   "auto"  -> "epoch" on TPU when dtype is bfloat16, else "step"
+    #   "step"  -> per-step refresh (torch parity: one iteration per forward,
+    #              modules/common.py:15-37)
+    #   "epoch" -> hoisted to the epoch boundary (quality h2h ratio 1.023,
+    #              docs/artifacts/h2h_snpe_medium.json)
+    sn_cadence: str = "auto"
+
     # Parallelism
     data_axis: str = "data"
     model_axis: str = "model"
@@ -211,6 +229,55 @@ class VAEConfig:
             recon_iter=config["recon_iter"],
             dtype=dtype,
         )
+
+
+# The exact perf stack behind the headline bench number (BENCH_r03+:
+# bf16 m+v with fused stochastic rounding, per-epoch SN).  bench.py and the
+# trainer's "auto" resolution both derive from resolve_perf_stack so the
+# benched configuration and the shipped CLI defaults cannot drift apart
+# (tests/test_perf_stack.py pins this).
+BENCHED_TPU_STACK = {
+    "moment_dtype": "bfloat16",
+    "nu_dtype": "bfloat16",
+    "stochastic_round": True,
+    "sn_per_epoch": True,
+}
+
+
+def resolve_perf_stack(cfg: "VAEConfig", backend: str = None) -> dict:
+    """Resolve VAEConfig's perf knobs into concrete trainer settings.
+
+    Returns ``{"moment_dtype", "nu_dtype", "stochastic_round",
+    "sn_per_epoch"}``.  "auto" enables the quality-verified TPU stack only
+    when compute dtype is bfloat16 on a TPU backend; float32 runs and
+    non-TPU backends keep reference-equivalent numerics.
+    """
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    hot = backend == "tpu" and cfg.dtype == "bfloat16"
+
+    osd = cfg.opt_state_dtype
+    if osd == "auto":
+        osd = "bfloat16" if hot else "float32"
+    if osd == "float32":
+        opt = {"moment_dtype": "", "nu_dtype": "", "stochastic_round": False}
+    elif osd == "bfloat16":
+        opt = {"moment_dtype": "bfloat16", "nu_dtype": "bfloat16",
+               "stochastic_round": True}
+    elif osd == "bfloat16_rtn":
+        opt = {"moment_dtype": "bfloat16", "nu_dtype": "bfloat16",
+               "stochastic_round": False}
+    else:
+        raise ValueError(f"opt_state_dtype: {osd!r}")
+
+    cadence = cfg.sn_cadence
+    if cadence == "auto":
+        cadence = "epoch" if hot else "step"
+    if cadence not in ("step", "epoch"):
+        raise ValueError(f"sn_cadence: {cfg.sn_cadence!r}")
+    return {**opt, "sn_per_epoch": cadence == "epoch"}
 
 
 @dataclasses.dataclass

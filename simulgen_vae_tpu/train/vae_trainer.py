@@ -111,17 +111,26 @@ class VAETrainer:
         )
         # Fused AdamW (same math as torch AdamW / optax.adamw, train.py:92):
         # one HBM sweep per step instead of optax's materialized updates tree.
-        # SIMULGEN_OPT_MOMENT_DTYPE=bfloat16 stores m (and, unless
-        # SIMULGEN_OPT_NU_DTYPE overrides, v) in bf16; update math stays
-        # f32.  Trims the optimizer-state sweep (docs/PERF.md round 3).
+        # Optimizer-state precision and SN cadence resolve from the config
+        # (VAEConfig.opt_state_dtype / sn_cadence, "auto" = the benched TPU
+        # stack when dtype is bfloat16 — config.resolve_perf_stack).  The
+        # SIMULGEN_* env vars remain as probe-script overrides and win when
+        # explicitly set.
         import os as _os
 
-        _mdt = _os.environ.get("SIMULGEN_OPT_MOMENT_DTYPE", "")
-        _ndt = _os.environ.get("SIMULGEN_OPT_NU_DTYPE", "")
-        # SIMULGEN_OPT_SR=1: unbiased stochastic rounding for the bf16
-        # moment downcasts (fixes the EMA rounding bias of deterministic
-        # bf16 v — docs/PERF.md round 3)
-        _sr = _os.environ.get("SIMULGEN_OPT_SR", "") == "1"
+        from simulgen_vae_tpu.config import resolve_perf_stack
+
+        stack = resolve_perf_stack(cfg)
+        _mdt = _os.environ.get("SIMULGEN_OPT_MOMENT_DTYPE",
+                               stack["moment_dtype"])
+        _ndt = _os.environ.get("SIMULGEN_OPT_NU_DTYPE", stack["nu_dtype"])
+        # Stochastic rounding: unbiased bf16 moment downcasts (fixes the EMA
+        # rounding bias of deterministic bf16 v — docs/PERF.md round 3).
+        _sr_env = _os.environ.get("SIMULGEN_OPT_SR", "")
+        _sr = (_sr_env == "1") if _sr_env else stack["stochastic_round"]
+        _snpe_env = _os.environ.get("SIMULGEN_SN_PER_EPOCH", "")
+        self._sn_per_epoch_resolved = ((_snpe_env in ("1", "true"))
+                                       if _snpe_env else stack["sn_per_epoch"])
         self.opt = FusedAdamW(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
                               moment_dtype=jnp.dtype(_mdt) if _mdt else None,
                               nu_dtype=jnp.dtype(_ndt) if _ndt else "same",
@@ -332,8 +341,10 @@ class VAETrainer:
         return metrics, new_u, g_params
 
     def _sn_per_epoch(self) -> bool:
-        """Opt-in (``SIMULGEN_SN_PER_EPOCH=1``): refresh the spectral-norm
-        power iteration once per EPOCH instead of once per step.
+        """Refresh the spectral-norm power iteration once per EPOCH instead
+        of once per step (``VAEConfig.sn_cadence`` — "auto" resolves to
+        per-epoch on TPU with bfloat16 compute; ``SIMULGEN_SN_PER_EPOCH``
+        overrides for probes).
 
         The iteration itself is stop-gradded but still costs two full HBM
         reads of the ~310M-param kernel set per step (~2 ms at flagship
@@ -342,12 +353,10 @@ class VAETrainer:
         hoisting it to the epoch boundary amortizes the cost over the
         epoch's steps.  This deviates from the reference (torch
         ``spectral_norm`` runs one iteration per forward,
-        ``modules/common.py:15-37``) and therefore stays opt-in until a
-        quality head-to-head shows parity.  With one batch per epoch the
+        ``modules/common.py:15-37``); quality h2h ratio 1.023
+        (docs/artifacts/h2h_snpe_medium.json).  With one batch per epoch the
         two cadences are mathematically identical."""
-        import os
-
-        return os.environ.get("SIMULGEN_SN_PER_EPOCH", "0") in ("1", "true")
+        return self._sn_per_epoch_resolved
 
     # -- epochs ------------------------------------------------------------
 
