@@ -217,6 +217,35 @@ def make_lc_data(num_param=32, n_feat=4, latent_dim_end=32, latent_dim=8,
             y2f.reshape(num_param, size2, latent_dim).astype(np.float32))
 
 
+def make_image_lc_data(num_param=64, img=64, latent_dim_end=32, latent_dim=8,
+                       size2=3, seed=0):
+    """Synthetic image-LC task: 4 shape parameters -> binary OUTLINE images
+    (the pixel statistics of the pipeline's cv2 resize+threshold-150 ingest,
+    latent_conditioner.py:31-57) + smooth teacher latent targets of the same
+    4 parameters.  Returns (x_flat in {0,1}, y1, y2, params)."""
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(-1.0, 1.0, size=(num_param, 4)).astype(np.float32)
+
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    cx = (0.5 + 0.15 * p[:, 0, None, None]) * img
+    cy = (0.5 + 0.15 * p[:, 1, None, None]) * img
+    a = (0.18 + 0.10 * (p[:, 2, None, None] * 0.5 + 0.5)) * img
+    b = (0.18 + 0.10 * (p[:, 3, None, None] * 0.5 + 0.5)) * img
+    q = ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2
+    # outline band ~2px wide, intensity 255 -> threshold-150 keeps it binary
+    outline = (np.abs(np.sqrt(np.maximum(q, 1e-12)) - 1.0)
+               < (1.5 / np.minimum(a, b))).astype(np.uint8) * 255
+    # the ingest pipeline: threshold at 150 -> {0, 255} -> /255
+    x = (outline > 150).astype(np.float32).reshape(num_param, img * img)
+
+    w1 = rng.standard_normal((4, latent_dim_end)).astype(np.float32)
+    w2 = rng.standard_normal((4, size2 * latent_dim)).astype(np.float32)
+    y1 = 0.7 * np.tanh(p @ w1)
+    y2 = 0.7 * np.tanh(p @ w2)
+    return (x, y1.astype(np.float32),
+            y2.reshape(num_param, size2, latent_dim).astype(np.float32), p)
+
+
 def _lc_final_metrics_torch(model, x, y1, y2):
     """Deterministic full-set eval: (main MSE, hier MSE)."""
     import torch
@@ -231,20 +260,37 @@ def _lc_final_metrics_torch(model, x, y1, y2):
 
 
 def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir,
-                     seed=0):
-    """Train the reference's train_latent_conditioner (torch CPU, csv mode)."""
+                     seed=0, image=False):
+    """Train the reference's train_latent_conditioner (torch CPU).
+
+    ``image=True`` uses the CNN LatentConditionerImg with the base trainer
+    exactly as the reference INTENDS for images: its shipped dispatch
+    (`train_latent_conditioner_with_enhancements`, use_enhanced_loss unset
+    in condition.txt) falls through to the base trainer but passes an extra
+    ``image_size`` positional that TypeErrors (SURVEY §2.5) — we make the
+    intended call with the correct arity."""
     import torch
     from torch.utils.data import DataLoader, random_split
 
     _stub_reference_imports()
     from modules.latent_conditioner import train_latent_conditioner
-    from modules.latent_conditioner_model_parametric import LatentConditioner
 
     num_param, n_feat = x.shape
     size2, latent_dim = y2.shape[1], y2.shape[2]
     torch.manual_seed(seed)
-    model = LatentConditioner(filters_lc, y1.shape[1], n_feat, latent_dim,
-                              size2, dropout_rate=0.1)
+    if image:
+        from modules.latent_conditioner_model_cnn import LatentConditionerImg
+
+        img = int(np.sqrt(n_feat))
+        model = LatentConditionerImg(filters_lc, y1.shape[1], (img, img),
+                                     latent_dim, size2, n_feat,
+                                     dropout_rate=0.1, use_attention=True)
+    else:
+        from modules.latent_conditioner_model_parametric import (
+            LatentConditioner)
+
+        model = LatentConditioner(filters_lc, y1.shape[1], n_feat,
+                                  latent_dim, size2, dropout_rate=0.1)
 
     from modules.utils import LatentConditionerDataset
 
@@ -263,7 +309,7 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir,
     try:
         t0 = time.time()
         train_latent_conditioner(epochs, dl, vdl, model, lr,
-                                 weight_decay=wd, is_image_data=False)
+                                 weight_decay=wd, is_image_data=image)
         wall = time.time() - t0
     finally:
         os.chdir(cwd)
@@ -271,21 +317,33 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir,
     return {"main_mse": m1, "hier_mse": m2, "wall_sec": wall}
 
 
-def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, seed=0):
-    """Train LCTrainer (jax CPU, standard loss) on the identical data."""
+def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, seed=0,
+                   image=False, loss_mode="standard"):
+    """Train LCTrainer (jax CPU) on the identical data."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from simulgen_vae_tpu.models.conditioner_mlp import LatentConditioner
     from simulgen_vae_tpu.train.lc_trainer import LCTrainer
 
-    model = LatentConditioner(list(filters_lc), y1.shape[1], x.shape[1],
-                              y2.shape[2], y2.shape[1], dropout_rate=0.1)
+    if image:
+        from simulgen_vae_tpu.models.conditioner_cnn import (
+            LatentConditionerImg, sn_filter)
+
+        model = LatentConditionerImg(list(filters_lc), y1.shape[1],
+                                     y2.shape[2], y2.shape[1],
+                                     dropout_rate=0.1, use_attention=True)
+        lc_sn = sn_filter
+    else:
+        from simulgen_vae_tpu.models.conditioner_mlp import LatentConditioner
+
+        model = LatentConditioner(list(filters_lc), y1.shape[1], x.shape[1],
+                                  y2.shape[2], y2.shape[1], dropout_rate=0.1)
+        lc_sn = None
     trainer = LCTrainer(model, epochs=epochs, lr=lr, batch_size=batch,
-                        weight_decay=wd, is_image_data=False,
-                        loss_mode="standard")
+                        weight_decay=wd, is_image_data=image,
+                        loss_mode=loss_mode, sn_filter=lc_sn)
     t0 = time.time()
     state, _ = trainer.fit(x, y1, y2, jax.random.PRNGKey(seed), val_split=0.3)
     wall = time.time() - t0
@@ -299,39 +357,58 @@ def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, seed=0):
 def stage_lc(args):
     """Multi-seed LC comparison: at this dataset size (tens of samples) the
     seed-to-seed spread is comparable to the ref-vs-rebuild gap, so single
-    seeds mislead — compare mean final MSEs over ``--seeds`` runs."""
-    x, y1, y2 = make_lc_data(args.params, 4, 32, 8, 3)
+    seeds mislead — compare mean final MSEs over ``--seeds`` runs.
+
+    ``--input_type image`` runs the CNN conditioner on threshold-style
+    outline images, reference base-loss (its intended image path) vs the
+    rebuild in BOTH loss modes (standard 10*MSE+MSE and enhanced) — the
+    evidence for the CLI's image-path loss-mode default (VERDICT r3 #4)."""
+    image = args.input_type == "image"
+    if image:
+        x, y1, y2, _ = make_image_lc_data(args.params, args.image_size,
+                                          32, 8, 3)
+    else:
+        x, y1, y2 = make_lc_data(args.params, 4, 32, 8, 3)
     filters_lc = [int(f) for f in args.filters.split(",")]
-    refs, ours = [], []
+    modes = ["standard", "enhanced"] if image else ["standard"]
+    refs, ours = [], {m: [] for m in modes}
     for seed in range(args.seeds):
         print(f"== seed {seed}: reference train_latent_conditioner "
-              f"({args.epochs} epochs) ==", flush=True)
+              f"({args.epochs} epochs, image={image}) ==", flush=True)
         r = run_reference_lc(x, y1, y2, args.epochs, args.batch, args.lr,
-                             1e-4, filters_lc, args.workdir, seed=seed)
+                             1e-4, filters_lc, args.workdir, seed=seed,
+                             image=image)
         print(f"reference[{seed}]: main={r['main_mse']:.3e} "
               f"hier={r['hier_mse']:.3e} wall={r['wall_sec']:.1f}s",
               flush=True)
         refs.append(r)
-        print(f"== seed {seed}: rebuild LCTrainer ==", flush=True)
-        o = run_rebuild_lc(x, y1, y2, args.epochs, args.batch, args.lr,
-                           1e-4, filters_lc, seed=seed)
-        print(f"rebuild[{seed}]:   main={o['main_mse']:.3e} "
-              f"hier={o['hier_mse']:.3e} wall={o['wall_sec']:.1f}s",
-              flush=True)
-        ours.append(o)
+        for mode in modes:
+            print(f"== seed {seed}: rebuild LCTrainer ({mode}) ==",
+                  flush=True)
+            o = run_rebuild_lc(x, y1, y2, args.epochs, args.batch, args.lr,
+                               1e-4, filters_lc, seed=seed, image=image,
+                               loss_mode=mode)
+            print(f"rebuild/{mode}[{seed}]: main={o['main_mse']:.3e} "
+                  f"hier={o['hier_mse']:.3e} wall={o['wall_sec']:.1f}s",
+                  flush=True)
+            ours[mode].append(o)
 
     def agg(runs):
         return {k: float(np.mean([r[k] for r in runs])) for k in runs[0]} | {
             f"{k}_per_seed": [r[k] for r in runs]
             for k in ("main_mse", "hier_mse")}
 
-    ref, our = agg(refs), agg(ours)
-    return {
-        "stage": "lc", "config": vars(args),
-        "reference": ref, "rebuild": our,
-        "main_mse_ratio_rebuild_over_ref": our["main_mse"] / ref["main_mse"],
-        "hier_mse_ratio_rebuild_over_ref": our["hier_mse"] / ref["hier_mse"],
-    }
+    ref = agg(refs)
+    out = {"stage": "lc", "config": vars(args), "reference": ref}
+    for mode in modes:
+        our = agg(ours[mode])
+        suffix = "" if mode == "standard" else f"_{mode}"
+        out[f"rebuild{suffix}"] = our
+        out[f"main_mse_ratio_rebuild{suffix}_over_ref"] = (
+            our["main_mse"] / ref["main_mse"])
+        out[f"hier_mse_ratio_rebuild{suffix}_over_ref"] = (
+            our["hier_mse"] / ref["hier_mse"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +445,7 @@ def _extract_reference_latents(model, data_tn, filters):
 
 def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                       filters, filters_lc, lc_alpha, reg_weight, workdir,
-                      seed=0, vae_cache=None):
+                      seed=0, vae_cache=None, image=False):
     """Full reference E2E path: torch VAE -> latents -> scalers ->
     train_latent_conditioner_e2e (csv-mode MLP, recon gradient severed by the
     reference's own sklearn descale).
@@ -411,8 +488,17 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
         y2 = y2_flat.reshape(num_param, size2, latent_dim)
 
         torch.manual_seed(seed)
-        lc = LatentConditioner(filters_lc, y1.shape[1], x.shape[1],
-                               latent_dim, size2, dropout_rate=0.1)
+        if image:
+            from modules.latent_conditioner_model_cnn import (
+                LatentConditionerImg)
+
+            img = int(np.sqrt(x.shape[1]))
+            lc = LatentConditionerImg(filters_lc, y1.shape[1], (img, img),
+                                      latent_dim, size2, x.shape[1],
+                                      dropout_rate=0.1, use_attention=True)
+        else:
+            lc = LatentConditioner(filters_lc, y1.shape[1], x.shape[1],
+                                   latent_dim, size2, dropout_rate=0.1)
         ds = E2ELatentConditionerDataset(
             np.float32(x), np.float32(y1), np.float32(y2),
             np.float32(data_tn), load_all=False)
@@ -429,7 +515,7 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
         os.makedirs("checkpoints", exist_ok=True)
         t0 = time.time()
         train_latent_conditioner_e2e(epochs_e2e, dl, vdl, lc, lr, 1e-5,
-                                     False, 256, config)
+                                     image, 256, config)
         wall = time.time() - t0
 
         # deterministic final eval: predict -> descale -> decode(mode='fix')
@@ -458,7 +544,7 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
 def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                     filters, filters_lc, lc_alpha, reg_weight,
                     sever_recon_gradient=False, vae_cache=None, seed=0,
-                    reinit=True, decode_mode="random"):
+                    reinit=True, decode_mode="random", image=False):
     """Full rebuild E2E path; ``sever_recon_gradient=True`` replicates the
     reference's detached recon term to isolate the gradient fix."""
     import jax
@@ -488,15 +574,25 @@ def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
     c = vae_cache
     size2, latent_dim = c["y2"].shape[1], c["y2"].shape[2]
 
-    lc = LatentConditioner(list(filters_lc), c["y1"].shape[1], x.shape[1],
-                           latent_dim, size2, dropout_rate=0.1)
+    lc_sn = None
+    if image:
+        from simulgen_vae_tpu.models.conditioner_cnn import (
+            LatentConditionerImg, sn_filter)
+
+        lc = LatentConditionerImg(list(filters_lc), c["y1"].shape[1],
+                                  latent_dim, size2, dropout_rate=0.1,
+                                  use_attention=True)
+        lc_sn = sn_filter
+    else:
+        lc = LatentConditioner(list(filters_lc), c["y1"].shape[1], x.shape[1],
+                               latent_dim, size2, dropout_rate=0.1)
     trainer = E2ETrainer(
         lc, c["trainer"].model, c["params"], c["lv_scaler"], c["xs_scaler"],
         epochs=epochs_e2e, lr=lr, batch_size=batch, weight_decay=1e-5,
         loss_function="MSE", lc_alpha=lc_alpha,
         use_latent_regularization=True, latent_reg_weight=reg_weight,
         sever_recon_gradient=sever_recon_gradient,
-        reinit=reinit, decode_mode=decode_mode,
+        reinit=reinit, decode_mode=decode_mode, sn_filter=lc_sn,
     )
     t0 = time.time()
     state, _ = trainer.fit(x, c["y1"], c["y2"], scaled,
@@ -531,9 +627,15 @@ def stage_e2e(args):
         raise SystemExit("--stage e2e needs 4 encoder filters (the reference "
                          "decoder-reshape hardcodes 3 hierarchical levels, "
                          "latent_conditioner_e2e.py:362-369)")
-    filters_lc = [32, 16]
+    image = args.input_type == "image"
+    filters_lc = [int(f) for f in args.filters_lc.split(",")] \
+        if args.filters_lc else [32, 16]
     scaled = make_data(args.params, args.time, args.nodes)
-    x, _, _ = make_lc_data(args.params, 4, 32, 8, 3)
+    if image:
+        x, _, _, _ = make_image_lc_data(args.params, args.image_size,
+                                        32, 8, 3)
+    else:
+        x, _, _ = make_lc_data(args.params, 4, 32, 8, 3)
 
     # one frozen decoder per side (the VAE legs are seed-0 deterministic and
     # expensive); --seeds varies the conditioner phase only, mirroring
@@ -547,7 +649,7 @@ def stage_e2e(args):
         ref, ref_cache = run_reference_e2e(
             scaled, x, args.vae_epochs, args.epochs, args.batch, args.lr,
             args.alpha, filters, filters_lc, args.lc_alpha, args.reg_weight,
-            args.workdir, seed=seed, vae_cache=ref_cache)
+            args.workdir, seed=seed, vae_cache=ref_cache, image=image)
         print(f"reference[{seed}]: recon={ref['recon_mse']:.3e} "
               f"reg_main={ref['reg_main_mse']:.3e} "
               f"reg_hier={ref['reg_hier_mse']:.3e}", flush=True)
@@ -557,7 +659,8 @@ def stage_e2e(args):
         ours, cache = run_rebuild_e2e(
             scaled, x, args.vae_epochs, args.epochs, args.batch, args.lr,
             args.alpha, filters, filters_lc, args.lc_alpha, args.reg_weight,
-            vae_cache=cache, seed=seed)
+            vae_cache=cache, seed=seed, image=image,
+            decode_mode=args.decode_mode)
         print(f"rebuild[{seed}]:   recon={ours['recon_mse']:.3e} "
               f"reg_main={ours['reg_main_mse']:.3e} "
               f"reg_hier={ours['reg_hier_mse']:.3e}", flush=True)
@@ -568,7 +671,8 @@ def stage_e2e(args):
     severed, _ = run_rebuild_e2e(scaled, x, args.vae_epochs, args.epochs,
                                  args.batch, args.lr, args.alpha, filters,
                                  filters_lc, args.lc_alpha, args.reg_weight,
-                                 sever_recon_gradient=True, vae_cache=cache)
+                                 sever_recon_gradient=True, vae_cache=cache,
+                                 image=image)
     print(f"severed:   recon={severed['recon_mse']:.3e} "
           f"reg_main={severed['reg_main_mse']:.3e}", flush=True)
 
@@ -674,6 +778,17 @@ def main():
     ap.add_argument("--ref_cache", type=str, default=None,
                     help="(vae stage) json path caching the reference run "
                          "so dtype sweeps retrain only the rebuild side")
+    ap.add_argument("--input_type", choices=["csv", "image"], default="csv",
+                    help="(lc/e2e stages) csv -> MLP conditioner, image -> "
+                         "CNN conditioner on synthetic outline images")
+    ap.add_argument("--image_size", type=int, default=64,
+                    help="(lc/e2e image mode) square image side")
+    ap.add_argument("--filters_lc", type=str, default=None,
+                    help="(e2e stage) conditioner filters, default 32,16")
+    ap.add_argument("--decode_mode", choices=["random", "fix"],
+                    default="random",
+                    help="(e2e stage) rebuild train-time decode mode; "
+                         "'random' matches the reference")
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--workdir", type=str, default="/tmp/h2h_reference")
     args = ap.parse_args()
