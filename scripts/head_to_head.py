@@ -544,12 +544,14 @@ def run_reference_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
 def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
                     filters, filters_lc, lc_alpha, reg_weight,
                     sever_recon_gradient=False, vae_cache=None, seed=0,
-                    reinit=True, decode_mode="random", image=False):
+                    reinit=True, decode_mode="random", image=False,
+                    platform="cpu"):
     """Full rebuild E2E path; ``sever_recon_gradient=True`` replicates the
     reference's detached recon term to isolate the gradient fix."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from simulgen_vae_tpu.data.scaler import latent_conditioner_scaler
@@ -560,7 +562,8 @@ def run_rebuild_e2e(scaled, x, epochs_vae, epochs_e2e, batch, lr, alpha,
     num_param = scaled.shape[0]
     if vae_cache is None:
         vae_mse, _, _, vae_wall, (trainer, params) = run_rebuild(
-            scaled, epochs_vae, batch, lr, alpha, filters)
+            scaled, epochs_vae, batch, lr, alpha, filters,
+            platform=platform)
         lv, hier, _, _, _ = evaluate_vae_reconstruction(
             trainer.model, params, scaled, jax.random.PRNGKey(1),
             recon_iter=1, batch_size=batch, verbose=False)
@@ -660,7 +663,7 @@ def stage_e2e(args):
             scaled, x, args.vae_epochs, args.epochs, args.batch, args.lr,
             args.alpha, filters, filters_lc, args.lc_alpha, args.reg_weight,
             vae_cache=cache, seed=seed, image=image,
-            decode_mode=args.decode_mode)
+            decode_mode=args.decode_mode, platform=args.platform)
         print(f"rebuild[{seed}]:   recon={ours['recon_mse']:.3e} "
               f"reg_main={ours['reg_main_mse']:.3e} "
               f"reg_hier={ours['reg_hier_mse']:.3e}", flush=True)
@@ -672,7 +675,8 @@ def stage_e2e(args):
                                  args.batch, args.lr, args.alpha, filters,
                                  filters_lc, args.lc_alpha, args.reg_weight,
                                  sever_recon_gradient=True, vae_cache=cache,
-                                 image=image)
+                                 image=image, decode_mode=args.decode_mode,
+                                 platform=args.platform)
     print(f"severed:   recon={severed['recon_mse']:.3e} "
           f"reg_main={severed['reg_main_mse']:.3e}", flush=True)
 

@@ -19,8 +19,9 @@ Semantics preserved from the reference:
 * AdamW + cosine annealing (T_max=epochs, eta_min=1e-8);
 * best-state tracking on validation loss.
 
-The decoder runs in mode='random' during training exactly like the reference
-(its ``vae_model.decoder(...)`` call uses the default mode, e2e.py:371).
+Training-time decode mode defaults to 'fix' (deterministic, matching the
+evaluator) rather than the reference's 'random' (e2e.py:371) — see the
+``decode_mode`` ctor comment and docs/PARITY.md for the measured rationale.
 """
 
 from __future__ import annotations
@@ -113,7 +114,7 @@ class E2ETrainer:
                  sn_filter: Optional[Callable] = None,
                  sever_recon_gradient: bool = False,
                  reinit: bool = True,
-                 decode_mode: str = "random"):
+                 decode_mode: str = "fix"):
         self.lc_model = lc_model
         self.vae_model = vae_model
         # Freeze the decoder (e2e.py:45-49).
@@ -139,9 +140,12 @@ class E2ETrainer:
         self.reinit = reinit
         # Decoder mode for the training-time recon term.  The reference uses
         # the decoder default 'random' (e2e.py:371) but EVALUATES with
-        # mode='fix' — a train/test mismatch.  'fix' trains against the same
-        # deterministic decode the evaluator uses; only meaningful with the
-        # fixed (non-severed) gradient.
+        # mode='fix' — a train/test mismatch that also drowns the restored
+        # recon gradient in per-level sampling noise.  Default 'fix' trains
+        # against the same deterministic decode the evaluator uses: final
+        # recon-MSE ratio vs the torch reference 0.911 (3 seeds) vs 1.000
+        # for 'random' (docs/artifacts/e2e_mechanism_sweep.json; declared
+        # deviation, docs/PARITY.md).  Pass 'random' for reference parity.
         self.decode_mode = decode_mode
         self.tx = optax.chain(
             hybrid_clip(1e-5, 10.0),

@@ -659,30 +659,69 @@ class VAETrainer:
 
         history: Dict[str, list] = {}
         val_metrics = {"loss": 0.0, "recon": 0.0}
-        for epoch in range(epochs):
+
+        # Multi-epoch dispatch: epochs between host-visible boundaries
+        # (validation epochs, checkpoint-save epochs, the final epoch) run as
+        # ONE jitted lax.scan over the epoch body (self._train_epochs) —
+        # identical math, but the per-epoch host dispatch/donation round trip
+        # (~3.5 ms/step of wall-device gap at flagship geometry,
+        # docs/PERF.md "Trace accounting at 244.0") is paid once per chunk.
+        # Only spans of exactly ``val_every`` epochs use the chunked program
+        # so at most ONE extra program shape is compiled; ragged spans (run
+        # tails, checkpoint-offset chunks) fall back to per-epoch dispatch.
+        base_epoch = int(state.epoch)
+
+        def _need_host_state(e: int) -> bool:
+            if e % val_every == 0 or e == epochs - 1:
+                return True
+            return (ckpt_manager is not None
+                    and (base_epoch + e + 1) % ckpt_manager.save_interval == 0)
+
+        epoch = 0
+        while epoch < epochs:
             t0 = time.time()
-            key, k_epoch, k_val = jax.random.split(key, 3)
+            end = epoch
+            while end < epochs - 1 and not _need_host_state(end):
+                end += 1
+            span = end - epoch + 1
+
+            key, k_val = jax.random.split(key)
             if stream:
+                span = 1
+                key, k_epoch = jax.random.split(key)
                 state, metrics = self.train_epoch_streaming(
                     state, data_train, k_epoch
                 )
+                stacked = {k: [v] for k, v in metrics.items()}
+            elif span == val_every:
+                key, *ks = jax.random.split(key, span + 1)
+                state, metrics = self._train_epochs(
+                    state, data_train, jnp.stack(ks))
+                stacked = {k: np.asarray(v) for k, v in metrics.items()}
             else:
+                span = 1
+                key, k_epoch = jax.random.split(key)
                 state, metrics = self._train_epoch(state, data_train, k_epoch)
+                stacked = {k: [v] for k, v in metrics.items()}
 
-            if epoch % val_every == 0 or epoch == epochs - 1:
+            last = epoch + span - 1
+            if last % val_every == 0 or last == epochs - 1:
                 vm = self._eval_epoch(state, data_val, k_val)
                 val_metrics = {k: float(v) for k, v in vm.items()}
 
-            metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["val_loss"] = val_metrics["loss"]
-            metrics["val_recon"] = val_metrics["recon"]
-            metrics["epoch_time"] = time.time() - t0
-            for k, v in metrics.items():
-                history.setdefault(k, []).append(v)
-            if log_fn is not None:
-                log_fn(epoch, metrics)
+            per_epoch = time.time() - t0
+            for j in range(span):
+                m = {k: float(v[j]) for k, v in stacked.items()}
+                m["val_loss"] = val_metrics["loss"]
+                m["val_recon"] = val_metrics["recon"]
+                m["epoch_time"] = per_epoch / span
+                for k, v in m.items():
+                    history.setdefault(k, []).append(v)
+                if log_fn is not None:
+                    log_fn(epoch + j, m)
             if ckpt_manager is not None:
                 ckpt_manager.maybe_save(state, int(state.epoch))
+            epoch += span
 
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(state, int(state.epoch), force=True)
