@@ -318,11 +318,13 @@ def run_reference_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, workdir,
 
 
 def run_rebuild_lc(x, y1, y2, epochs, batch, lr, wd, filters_lc, seed=0,
-                   image=False, loss_mode="standard"):
-    """Train LCTrainer (jax CPU) on the identical data."""
+                   image=False, loss_mode="standard", platform="cpu"):
+    """Train LCTrainer (jax CPU by default; platform='tpu' runs the rebuild
+    leg on the real chip) on the identical data."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from simulgen_vae_tpu.train.lc_trainer import LCTrainer
@@ -387,7 +389,7 @@ def stage_lc(args):
                   flush=True)
             o = run_rebuild_lc(x, y1, y2, args.epochs, args.batch, args.lr,
                                1e-4, filters_lc, seed=seed, image=image,
-                               loss_mode=mode)
+                               loss_mode=mode, platform=args.platform)
             print(f"rebuild/{mode}[{seed}]: main={o['main_mse']:.3e} "
                   f"hier={o['hier_mse']:.3e} wall={o['wall_sec']:.1f}s",
                   flush=True)
