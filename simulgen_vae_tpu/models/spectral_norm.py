@@ -27,9 +27,60 @@ from flax import traverse_util
 
 EPS = 1e-12
 
+# Kernels at or above this element count keep exact same-shape grouping in
+# compute_sigmas (padding them would add real HBM traffic); smaller kernels
+# are zero-row-padded into shared buckets (see _bucket_entries).
+_PAD_BUCKET_MAX_ELEMS = 4 * 1024 * 1024
+# Within a bucket, a kernel's row count must be >= bucket_rows / this factor
+# so per-kernel padding waste stays bounded.
+_PAD_WASTE_FACTOR = 8
+
 
 def _l2_normalize(v):
     return v / (jnp.linalg.norm(v) + EPS)
+
+
+def _bucket_entries(entries):
+    """Group (path, m, u) entries for batched power iteration.
+
+    Same-shape grouping alone leaves the flagship VAE with 31 groups for 40
+    kernels — ~80 serialized small matvecs, ~2 ms of pure dispatch tail on
+    TPU (round-3 trace).  Zero-ROW padding is EXACT for power iteration:
+    padded rows of M contribute nothing to ``M u``, to any norm, or to
+    ``M^T v``, and the padded entries of v are exactly zero — so kernels
+    that share an out-dim can share one stacked einsum after padding their
+    row counts to the bucket max.  Only kernels below
+    ``_PAD_BUCKET_MAX_ELEMS`` are padded (the big readout/embedding kernels
+    are bandwidth-bound, not dispatch-bound, and padding them would cost
+    real HBM traffic); within a bucket rows may differ by at most
+    ``_PAD_WASTE_FACTOR`` so the added zero traffic stays a few MB.
+
+    Returns a list of buckets, each a list of (path, m, u) with equal
+    ``m.shape[1]``; callers pad rows to the bucket max.
+    """
+    big: dict = {}
+    small_by_o: dict = {}
+    for e in entries:
+        m = e[1]
+        if m.size >= _PAD_BUCKET_MAX_ELEMS:
+            big.setdefault(m.shape, []).append(e)
+        else:
+            small_by_o.setdefault(m.shape[1], []).append(e)
+    buckets = list(big.values())
+    for es in small_by_o.values():
+        es.sort(key=lambda e: -e[1].shape[0])
+        cur, rmax = [], 0
+        for e in es:
+            r = e[1].shape[0]
+            if cur and r * _PAD_WASTE_FACTOR < rmax:
+                buckets.append(cur)
+                cur, rmax = [], 0
+            if not cur:
+                rmax = r
+            cur.append(e)
+        if cur:
+            buckets.append(cur)
+    return buckets
 
 
 def _is_sn_kernel(path: Tuple[str, ...], leaf) -> bool:
@@ -90,12 +141,12 @@ def compute_sigmas(params, state, update: bool = True,
     flat_u = traverse_util.flatten_dict(state) if state else {}
     sig, new_u, factors = {}, {}, {}
 
-    # Group kernels that share a matrix shape and batch their power
-    # iterations into single einsums: the flagship VAE has ~40 SN'd kernels
-    # whose ~80 serialized small matvecs cost ~4 ms/step on TPU (ops execute
-    # sequentially); batching same-shape groups trims the dispatch tail
-    # without changing a single value (stack/unstack is exact).
-    groups: dict = {}
+    # Batch power iterations into as few einsums as possible: same-shape
+    # kernels stack exactly; smaller kernels sharing an out-dim are
+    # zero-row-padded into buckets (exact — see _bucket_entries).  The
+    # flagship VAE drops from 31 serialized groups (~80 small matvecs,
+    # ~2 ms dispatch tail) to ~15.
+    entries_all = []
     for path, w in flat_p.items():
         u = flat_u.get(path)
         if u is None:
@@ -103,15 +154,20 @@ def compute_sigmas(params, state, update: bool = True,
         m = w.reshape(-1, w.shape[-1])
         m = m.astype(compute_dtype if compute_dtype is not None
                      else jnp.float32)
-        groups.setdefault(m.shape, []).append((path, m, u))
+        entries_all.append((path, m, u))
 
-    for shape, entries in groups.items():
+    for entries in _bucket_entries(entries_all):
         paths = [p for p, _, _ in entries]
+        rows_n = [m_.shape[0] for _, m_, _ in entries]
+        rmax = max(rows_n)
         if len(entries) == 1:
             m = entries[0][1][None]
             u = entries[0][2][None]
         else:
-            m = jnp.stack([m_ for _, m_, _ in entries])       # [g, R, O]
+            m = jnp.stack([
+                m_ if m_.shape[0] == rmax
+                else jnp.pad(m_, ((0, rmax - m_.shape[0]), (0, 0)))
+                for _, m_, _ in entries])                     # [g, Rmax, O]
             u = jnp.stack([u_ for _, _, u_ in entries])       # [g, O]
         if with_grad_factors:
             # grads handled analytically by add_sigma_rank1_grads
@@ -141,7 +197,9 @@ def compute_sigmas(params, state, update: bool = True,
             new_u[path] = u_next[i]
             sig[path[:-1] + ("inv_sigma",)] = inv[i]
             if with_grad_factors:
-                factors[path] = (jax.lax.stop_gradient(rows[i]),
+                # rows is [Rmax]; zero-padded entries are exactly zero —
+                # slice back to the kernel's true row count.
+                factors[path] = (jax.lax.stop_gradient(rows[i, :rows_n[i]]),
                                  jax.lax.stop_gradient(cols[i]),
                                  jax.lax.stop_gradient(inv[i]))
 

@@ -219,6 +219,83 @@ def test_analytic_rank1_sigma_grads_match_autodiff():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_cross_shape_padded_buckets_exact():
+    """Zero-row-padded cross-shape bucketing (round 4) returns the SAME
+    sigmas, u updates, and rank-1 factors as independent per-kernel
+    computation — padding rows of M with zeros is exact for power
+    iteration."""
+    from simulgen_vae_tpu.models import spectral_norm as sn
+    from simulgen_vae_tpu.models.spectral_norm import compute_sigmas
+
+    rng = np.random.default_rng(13)
+    # same out-dim, different row counts -> lands in one padded bucket;
+    # plus a second out-dim group and a singleton.
+    shapes = {"a": (48, 16), "b": (20, 16), "c": (7, 16),
+              "d": (30, 24), "e": (9, 24), "f": (11, 5)}
+    params = {k: {"kernel": jnp.asarray(
+        rng.standard_normal(s).astype(np.float32))} for k, s in shapes.items()}
+    state = init_sn_state(params, jax.random.PRNGKey(9))
+
+    sig_b, u_b, fac_b = compute_sigmas(params, state, with_grad_factors=True)
+
+    # force singleton groups by disabling padding
+    orig = sn._PAD_BUCKET_MAX_ELEMS
+    sn._PAD_BUCKET_MAX_ELEMS = 0
+    try:
+        sig_s, u_s, fac_s = compute_sigmas(params, state,
+                                           with_grad_factors=True)
+    finally:
+        sn._PAD_BUCKET_MAX_ELEMS = orig
+
+    for k, s in shapes.items():
+        np.testing.assert_allclose(
+            np.asarray(sig_b[k]["inv_sigma"]),
+            np.asarray(sig_s[k]["inv_sigma"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(u_b[k]["kernel"]),
+                                   np.asarray(u_s[k]["kernel"]), rtol=1e-5, atol=1e-6)
+        path = (k, "kernel")
+        for t_b, t_s in zip(fac_b[path], fac_s[path]):
+            assert t_b.shape == t_s.shape
+            np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_s),
+                                       rtol=1e-5, atol=1e-6)
+        assert fac_b[path][0].shape == (s[0],)  # row factor sliced to true R
+
+    # eval mode (sigma = ||M u||) must agree too
+    sig_eb, _ = compute_sigmas(params, state, update=False)
+    sn._PAD_BUCKET_MAX_ELEMS = 0
+    try:
+        sig_es, _ = compute_sigmas(params, state, update=False)
+    finally:
+        sn._PAD_BUCKET_MAX_ELEMS = orig
+    for k in shapes:
+        np.testing.assert_allclose(
+            np.asarray(sig_eb[k]["inv_sigma"]),
+            np.asarray(sig_es[k]["inv_sigma"]), rtol=1e-5, atol=1e-6)
+
+
+def test_bucket_entries_waste_bound():
+    """_bucket_entries never mixes row counts differing by more than the
+    waste factor, and keeps big kernels in exact same-shape groups."""
+    from simulgen_vae_tpu.models import spectral_norm as sn
+
+    mk = lambda r, o: jnp.zeros((r, o))
+    entries = [(("k%d" % i,), mk(r, 16), jnp.zeros((16,)))
+               for i, r in enumerate([4096, 1024, 512, 500, 8])]
+    # a "big" kernel (above the pad threshold) with the same out-dim
+    big = (("big",), jnp.zeros((sn._PAD_BUCKET_MAX_ELEMS // 16 + 1, 16)),
+           jnp.zeros((16,)))
+    buckets = sn._bucket_entries(entries + [big])
+    for b in buckets:
+        rs = [e[1].shape[0] for e in b]
+        assert max(rs) <= min(rs) * sn._PAD_WASTE_FACTOR
+    # big kernel is alone in its group
+    assert any(len(b) == 1 and b[0][0] == ("big",) for b in buckets)
+    # the tiny (8-row) kernel must not share a bucket with the 4096-row one
+    for b in buckets:
+        rs = [e[1].shape[0] for e in b]
+        assert not (8 in rs and 4096 in rs)
+
+
 def test_analytic_rank1_sigma_grads_eval_mode():
     """update=False factors (sigma = ||M u||) also match autodiff."""
     from simulgen_vae_tpu.models.spectral_norm import (
