@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="skip the reference's destructive folder init")
     parser.add_argument("--resume", action="store_true",
                         help="resume VAE training from the latest checkpoint")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="like --resume, but also safe on a fresh run "
+                             "(resumes only if a checkpoint exists) — pair "
+                             "with a requeueing scheduler: on SIGTERM the "
+                             "trainers checkpoint and exit 75 (EX_TEMPFAIL)")
+    parser.add_argument("--no_preempt_guard", action="store_true",
+                        help="do not install the SIGTERM "
+                             "checkpoint-and-requeue handler")
     parser.add_argument("--stream", action="store_true",
                         help="stream batches from host memory (datasets "
                              "larger than device HBM)")
@@ -109,6 +117,17 @@ def resolve_load_all(args) -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     resolve_load_all(args)
+    if args.auto_resume:
+        args.resume = True
+
+    # Preemption safety (SURVEY §5 failure detection/recovery): SIGTERM →
+    # trainers checkpoint at the next epoch boundary and return early; the
+    # run exits EX_TEMPFAIL(75) so a scheduler requeues it, and
+    # --resume/--auto_resume continues from the saved state.
+    from simulgen_vae_tpu.utils import preemption
+
+    if not args.no_preempt_guard:
+        preemption.install()
 
     import jax
     import jax.numpy as jnp
@@ -230,6 +249,12 @@ def main(argv=None) -> int:
             log_fn=lambda e, m: logger.log(e, m, cfg.n_epochs),
         )
         logger.close()
+
+        if preemption.requested():
+            print(f"Preempted at epoch {int(state.epoch)}: train state "
+                  f"checkpointed; rerun with --resume to continue "
+                  f"(exit {preemption.EX_TEMPFAIL})")
+            return preemption.EX_TEMPFAIL
 
         eval_params = trainer.eval_params(state)
         from simulgen_vae_tpu.utils.checkpoint import save_flax_model
@@ -443,6 +468,14 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
         )
     logger.close()
     lc_ckpt.close()
+
+    from simulgen_vae_tpu.utils import preemption
+
+    if preemption.requested():
+        print(f"Preempted at LC epoch {int(lc_state.epoch)}: state "
+              f"checkpointed; rerun with --resume to continue "
+              f"(exit {preemption.EX_TEMPFAIL})")
+        return preemption.EX_TEMPFAIL
 
     from simulgen_vae_tpu.utils.checkpoint import save_flax_model
 

@@ -39,6 +39,7 @@ from simulgen_vae_tpu.models.spectral_norm import init_sn_state, spectral_normal
 from simulgen_vae_tpu.models.vae import VAE
 from simulgen_vae_tpu.train.lc_trainer import LCTrainState
 from simulgen_vae_tpu.train.schedules import cosine_annealing
+from simulgen_vae_tpu.utils import preemption
 
 E2E_LOSS_MAP = {
     "MSE": "MSE",
@@ -347,8 +348,15 @@ class E2ETrainer:
                 log_fn(epoch, metrics)
             if ckpt_manager is not None:
                 ckpt_manager.maybe_save(state, int(state.epoch))
-
-        final = best_state if track_best else state
+            if preemption.requested():
+                # SIGTERM: persist the CURRENT state (not best) so --resume
+                # continues the optimization; best-tracking restarts cleanly
+                # (utils/preemption.py).
+                if ckpt_manager is not None:
+                    ckpt_manager.maybe_save(state, int(state.epoch),
+                                            force=True)
+                    ckpt_manager.wait()
+                return state, {k: np.asarray(v) for k, v in history.items()}
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(final, int(state.epoch), force=True)
             ckpt_manager.wait()

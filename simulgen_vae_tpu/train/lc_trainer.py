@@ -41,6 +41,7 @@ from simulgen_vae_tpu.losses import (
 )
 from simulgen_vae_tpu.models.spectral_norm import init_sn_state, spectral_normalize
 from simulgen_vae_tpu.train.schedules import lc_warmup_cosine
+from simulgen_vae_tpu.utils import preemption
 
 
 class LCTrainState(struct.PyTreeNode):
@@ -271,6 +272,10 @@ class LCTrainer:
                 log_fn(epoch, metrics)
             if ckpt_manager is not None:
                 ckpt_manager.maybe_save(state, int(state.epoch))
+            if preemption.requested():
+                # SIGTERM: force-save below, return early, resume later
+                # (utils/preemption.py).
+                break
 
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(state, int(state.epoch), force=True)

@@ -46,6 +46,7 @@ from simulgen_vae_tpu.models.spectral_norm import (
 from simulgen_vae_tpu.models.vae import VAE
 from simulgen_vae_tpu.train.optim import FusedAdamW
 from simulgen_vae_tpu.train.schedules import cosine_warm_restarts
+from simulgen_vae_tpu.utils import preemption
 
 
 class VAETrainState(struct.PyTreeNode):
@@ -722,6 +723,12 @@ class VAETrainer:
             if ckpt_manager is not None:
                 ckpt_manager.maybe_save(state, int(state.epoch))
             epoch += span
+            if preemption.requested():
+                # Cooperative stop (SIGTERM): fall through to the force-save
+                # below so the full train state lands on disk, then return
+                # early.  The CLI exits EX_TEMPFAIL; --resume continues from
+                # exactly this epoch (utils/preemption.py).
+                break
 
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(state, int(state.epoch), force=True)

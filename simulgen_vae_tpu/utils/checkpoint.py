@@ -37,6 +37,9 @@ class CheckpointManager:
     def maybe_save(self, state: Any, epoch: int, force: bool = False) -> bool:
         if not force and (epoch % self.save_interval != 0):
             return False
+        if self._mngr.latest_step() == epoch:
+            return False  # already saved this step (e.g. preemption landing
+            # on an interval epoch, or the final epoch coinciding with one)
         self._mngr.save(epoch, args=ocp.args.StandardSave(state))
         return True
 

@@ -1,0 +1,105 @@
+"""Preemption-safe training: SIGTERM -> checkpoint -> clean resume.
+
+TPU VMs (and most cluster schedulers) deliver SIGTERM with a short grace
+window before killing a preempted worker.  The reference has no story for
+this — a preempted run loses everything since its last manual save
+(reference ``modules/train.py:252-253`` saves only at the very end).  Here a
+process-global guard turns the signal into a cooperative stop: every trainer
+``fit`` loop polls :func:`requested` at its host-visible epoch boundary,
+force-saves the full train state through its Orbax ``CheckpointManager``,
+and returns early.  The CLI then exits with ``EX_TEMPFAIL`` (75) so a
+scheduler requeues the job; the rerun picks the state back up with
+``--resume`` (or automatically, with ``--auto_resume``).
+
+Design notes (why not a thread / why a flag):
+
+* Signal handlers run on the main thread between bytecodes — they must not
+  touch JAX (no device sync, no allocation).  The handler only flips a flag;
+  the training loop, which is already at a safe host-visible boundary when it
+  polls, does the actual save.
+* A second SIGTERM restores the previous handler and re-raises it — if the
+  grace window is too short for a checkpoint, the process still dies fast
+  instead of looping.
+* ``install`` is idempotent and chainable: the prior handler is preserved and
+  re-installed by :func:`uninstall` (tests restore state between cases).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import threading
+from typing import Iterable, Optional
+
+EX_TEMPFAIL = 75  # BSD sysexits: "temp failure; user is invited to retry"
+
+_lock = threading.Lock()
+_requested = False
+_prev_handlers: dict = {}
+
+
+def _handler(signum, frame):
+    global _requested
+    with _lock:
+        if _requested:
+            # Second signal: stop cooperating, die the default way.
+            prev = _prev_handlers.get(signum, signal.SIG_DFL)
+            signal.signal(signum, prev if callable(prev) or prev in (
+                signal.SIG_DFL, signal.SIG_IGN) else signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
+            return
+        _requested = True
+
+
+def install(signals: Iterable[int] = (signal.SIGTERM,)) -> None:
+    """Install the cooperative-stop handler (idempotent).
+
+    Only the main thread may install signal handlers; callers on worker
+    threads get a no-op (the flag can still be set via :func:`request`).
+    """
+    if threading.current_thread() is not threading.main_thread():
+        return
+    with _lock:
+        for sig in signals:
+            if sig not in _prev_handlers:
+                _prev_handlers[sig] = signal.signal(sig, _handler)
+
+
+def uninstall() -> None:
+    """Restore the previous handlers and clear the flag (test hygiene)."""
+    global _requested
+    with _lock:
+        for sig, prev in _prev_handlers.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, TypeError):
+                signal.signal(sig, signal.SIG_DFL)
+        _prev_handlers.clear()
+        _requested = False
+
+
+def request() -> None:
+    """Set the stop flag programmatically (tests, in-process schedulers)."""
+    global _requested
+    with _lock:
+        _requested = True
+
+
+def clear() -> None:
+    global _requested
+    with _lock:
+        _requested = False
+
+
+def requested() -> bool:
+    """True once a preemption signal (or :func:`request`) arrived.
+
+    Trainers poll this at epoch boundaries; it never blocks and never
+    touches the device.
+    """
+    return _requested
+
+
+def exit_code(default: int = 0) -> int:
+    """CLI helper: 75 (EX_TEMPFAIL) when preempted, else ``default``."""
+    return EX_TEMPFAIL if _requested else default
