@@ -357,6 +357,8 @@ class E2ETrainer:
                                             force=True)
                     ckpt_manager.wait()
                 return state, {k: np.asarray(v) for k, v in history.items()}
+
+        final = best_state if track_best else state
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(final, int(state.epoch), force=True)
             ckpt_manager.wait()

@@ -104,6 +104,64 @@ def test_preempted_save_on_interval_epoch_does_not_double_save(tmp_path):
     mngr.close()
 
 
+def test_e2e_fit_stops_and_normal_path_intact(tmp_path):
+    """E2E fit returns the CURRENT state on preemption, and still returns
+    the best-tracked state on a normal (non-preempted) run."""
+    import jax.numpy as jnp
+
+    from simulgen_vae_tpu.models import LatentConditioner, VAE
+    from simulgen_vae_tpu.train.lc_e2e_trainer import E2ETrainer
+
+    class FakeScaler:
+        scale_, min_ = 0.5, 0.1
+
+        def transform(self, v):
+            return v * self.scale_ + self.min_
+
+        def inverse_transform(self, v):
+            return (v - self.min_) / self.scale_
+
+    filters = [8, 8]
+    vae = VAE(latent_dim=8, hierarchical_dim=3, num_filter_enc=filters,
+              num_filter_dec=filters[::-1], num_node=16, num_time=10,
+              small=True)
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key, "sample": key},
+                          jnp.zeros((2, 10, 16)))["params"]
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 16)).astype(np.float32)
+    y1 = rng.standard_normal((16, 8)).astype(np.float32)
+    y2 = rng.standard_normal((16, 2, 3)).astype(np.float32)
+    target = rng.standard_normal((16, 10, 16)).astype(np.float32)
+    lc = LatentConditioner([16, 16], 8, 16, 3, 2, dropout_rate=0.1)
+
+    def make_trainer():
+        return E2ETrainer(lc, vae, vae_params, latent_scaler=FakeScaler(),
+                          xs_scaler=FakeScaler(), epochs=6, lr=1e-3,
+                          batch_size=8, loss_function="Huber", lc_alpha=10.0)
+
+    # normal run: completes all epochs (regression guard for the
+    # best-state return path)
+    state, hist = make_trainer().fit(x, y1, y2, target,
+                                     jax.random.PRNGKey(3), epochs=6)
+    assert len(hist["loss"]) == 6
+
+    # preempted run: stops early and checkpoints the current state
+    mngr = CheckpointManager(str(tmp_path / "e2e"), save_interval_epochs=100)
+
+    def log_fn(epoch, metrics):
+        if epoch == 2:
+            preemption.request()
+
+    state, hist = make_trainer().fit(x, y1, y2, target,
+                                     jax.random.PRNGKey(3), epochs=6,
+                                     ckpt_manager=mngr, log_fn=log_fn)
+    mngr.wait()
+    assert len(hist["loss"]) == 3
+    assert mngr.latest_step() == int(state.epoch)
+    mngr.close()
+
+
 def test_lc_fit_stops_and_checkpoints(tmp_path):
     from simulgen_vae_tpu.models import LatentConditioner
     from simulgen_vae_tpu.train.lc_trainer import LCTrainer
