@@ -88,9 +88,17 @@ def main():
     skey = jax.random.PRNGKey(0)
 
     def decode(extra):
-        return np.asarray(model.apply(
-            {"params": params, **extra}, z, xs, method=VAE.generate,
-            rngs={"sample": skey}).astype(jnp.float32))
+        # Chunked decode: one flagship-geometry batch of activations at
+        # 1024 filters is ~5 GB in f32 — the full set does not fit HBM.
+        outs = []
+        bsz = args.batch
+        for i in range(0, z.shape[0], bsz):
+            out = model.apply(
+                {"params": params, **extra}, z[i:i + bsz],
+                [x[i:i + bsz] for x in xs], method=VAE.generate,
+                rngs={"sample": skey}).astype(jnp.float32)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=0)
 
     f_float = decode({})
     quant = {"decoder": build_quant_collection(

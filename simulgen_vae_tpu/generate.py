@@ -210,6 +210,24 @@ def generate(pipeline: dict, inputs: np.ndarray,
     return np.asarray(fn(jnp.asarray(inputs)))
 
 
+def resolve_quantize(mode: str | None) -> str | None:
+    """Map the CLI's quantize mode to make_generate_fn's (None | 'int8').
+
+    'auto' turns int8 on when serving from a TPU backend — where the MXU
+    runs int8 at 2x the bf16 rate (+25-61% generation throughput) and the
+    quality gate passed on flagship-trained weights (recon-MSE ratio 1.0066,
+    docs/artifacts/quant_serving_flagship.json) — and off on CPU/GPU, where
+    the emulated int8 path has no rate advantage.
+    """
+    if mode == "auto":
+        import jax
+
+        return "int8" if jax.default_backend() == "tpu" else None
+    if mode in (None, "none"):
+        return None
+    return mode
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Generate simulation fields from design parameters "
@@ -226,10 +244,15 @@ def main(argv=None) -> int:
     ap.add_argument("--model_dir", default="model_save")
     ap.add_argument("--raw_scale", action="store_true",
                     help="skip inverse data scaling (keep model units)")
-    ap.add_argument("--quantize", default=None, choices=[None, "int8"],
+    ap.add_argument("--quantize", default="auto",
+                    choices=["auto", "none", "int8"],
                     help="int8-quantize the decoder matmuls for 2x-rate "
-                         "MXU serving (quality measured in docs/PERF.md)")
+                         "MXU serving; 'auto' (default) = int8 on TPU, off "
+                         "elsewhere — gated by the flagship-trained quality "
+                         "h2h (MSE ratio 1.0066, rel-L2 1.8%%: docs/PERF.md "
+                         "'Int8 serving decode')")
     args = ap.parse_args(argv)
+    args.quantize = resolve_quantize(args.quantize)
 
     pipe = load_pipeline(args.condition, args.preset_file, args.size,
                          args.model_dir)

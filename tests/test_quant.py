@@ -138,3 +138,17 @@ def test_quantized_generate_close_to_float():
     rel = np.linalg.norm(f_q - f_ref) / max(np.linalg.norm(f_ref), 1e-9)
     assert rel < 0.05, rel
     assert not np.allclose(f_q, f_ref)  # the int8 path actually ran
+
+
+def test_resolve_quantize_auto_maps_by_backend():
+    """'auto' turns int8 on only on TPU backends (the gate that justified
+    default-on ran on flagship-trained weights — docs/PERF.md)."""
+    import jax
+
+    from simulgen_vae_tpu.generate import resolve_quantize
+
+    expected = "int8" if jax.default_backend() == "tpu" else None
+    assert resolve_quantize("auto") == expected  # CPU under conftest
+    assert resolve_quantize("none") is None
+    assert resolve_quantize(None) is None
+    assert resolve_quantize("int8") == "int8"
