@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream", action="store_true",
                         help="stream batches from host memory (datasets "
                              "larger than device HBM)")
+    parser.add_argument("--no_nan_guard", action="store_true",
+                        help="disable divergence detection (non-finite "
+                             "train loss -> rollback to the last checkpoint "
+                             "and retry with fresh randomness)")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -247,6 +251,7 @@ def main(argv=None) -> int:
             new_x_train, key, state=init_state, mesh=mesh,
             stream=args.stream, epochs=remaining, ckpt_manager=ckpt,
             log_fn=lambda e, m: logger.log(e, m, cfg.n_epochs),
+            nan_guard=not args.no_nan_guard,
         )
         logger.close()
 

@@ -307,7 +307,8 @@ class E2ETrainer:
             state: Optional[LCTrainState] = None, val_split: float = 0.3,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
             epochs: Optional[int] = None, track_best: bool = True,
-            ckpt_manager=None):
+            ckpt_manager=None, nan_guard: bool = True,
+            nan_guard_max_retries: int = 2):
         epochs = self.epochs if epochs is None else epochs
         arrays = [np.nan_to_num(np.asarray(a, np.float32), nan=0.0)
                   for a in (x, y1, y2, target)]
@@ -329,7 +330,10 @@ class E2ETrainer:
         history: Dict[str, list] = {}
         best_val = float("inf")
         best_state = state
-        for epoch in range(epochs):
+        base_epoch = int(state.epoch)
+        epoch = 0
+        nan_retries = 0
+        while epoch < epochs:
             t0 = time.time()
             key, k_epoch, k_val = jax.random.split(key, 3)
             state, metrics = self._train_epoch(state, *train_arrays, k_epoch)
@@ -337,6 +341,19 @@ class E2ETrainer:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update({f"val_{k}": float(v) for k, v in vm.items()})
             metrics["epoch_time"] = time.time() - t0
+
+            if nan_guard and not np.isfinite(metrics["loss"]):
+                from simulgen_vae_tpu.train.nan_guard import rollback
+
+                # best_state is finite by construction (a NaN val_loss never
+                # wins the < comparison), so it is a valid rollback source
+                # even with no checkpoint manager.
+                state, epoch, history = rollback(
+                    state, epoch, base_epoch, history, ckpt_manager,
+                    nan_retries, nan_guard_max_retries, stage="e2e",
+                    fallback_state=best_state if track_best else None)
+                nan_retries += 1
+                continue
 
             if track_best and metrics["val_loss"] < best_val:
                 best_val = metrics["val_loss"]
@@ -357,6 +374,7 @@ class E2ETrainer:
                                             force=True)
                     ckpt_manager.wait()
                 return state, {k: np.asarray(v) for k, v in history.items()}
+            epoch += 1
 
         final = best_state if track_best else state
         if ckpt_manager is not None:

@@ -220,13 +220,16 @@ class LCTrainer:
             val_split: float = 0.3, val_every: int = 10,
             overfit_threshold: float = 1000.0,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
-            epochs: Optional[int] = None, ckpt_manager=None):
+            epochs: Optional[int] = None, ckpt_manager=None,
+            nan_guard: bool = True, nan_guard_max_retries: int = 2):
         """Train with the reference 0.7/0.3 split (SimulGen-VAE.py:399-400).
 
         NaN inputs are scrubbed to zero like LatentConditionerDataset
         (utils.py:124-134).  ``ckpt_manager`` enables mid-run checkpointing
         and resume (pass a restored ``state=``), which the reference lacks
         for the LC stage (save-only, latent_conditioner.py:383-384).
+        ``nan_guard`` detects a non-finite train loss and rolls back to the
+        last checkpoint with fresh randomness (train/nan_guard.py).
         """
         epochs = self.epochs if epochs is None else epochs
         x = np.nan_to_num(np.asarray(x, np.float32), nan=0.0)
@@ -249,11 +252,23 @@ class LCTrainer:
 
         history: Dict[str, list] = {}
         val_metrics = {"loss": float("inf"), "loss_y1": 0.0, "loss_y2": 0.0}
-        for epoch in range(epochs):
+        base_epoch = int(state.epoch)
+        epoch = 0
+        nan_retries = 0
+        while epoch < epochs:
             t0 = time.time()
             key, k_epoch = jax.random.split(key)
             state, metrics = self._train_epoch(state, xt, y1t, y2t, k_epoch)
             metrics = {k: float(v) for k, v in metrics.items()}
+
+            if nan_guard and not np.isfinite(metrics["loss"]):
+                from simulgen_vae_tpu.train.nan_guard import rollback
+
+                state, epoch, history = rollback(
+                    state, epoch, base_epoch, history, ckpt_manager,
+                    nan_retries, nan_guard_max_retries, stage="lc")
+                nan_retries += 1
+                continue
 
             if epoch % val_every == 0 or epoch == epochs - 1:
                 vm = self._eval_epoch(state, xv, y1v, y2v)
@@ -276,6 +291,7 @@ class LCTrainer:
                 # SIGTERM: force-save below, return early, resume later
                 # (utils/preemption.py).
                 break
+            epoch += 1
 
         if ckpt_manager is not None:
             ckpt_manager.maybe_save(state, int(state.epoch), force=True)

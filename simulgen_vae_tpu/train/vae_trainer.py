@@ -596,8 +596,20 @@ class VAETrainer:
             val_split: float = 0.2, val_every: int = 20,
             log_fn: Optional[Callable[[int, Dict], None]] = None,
             epochs: Optional[int] = None, mesh=None, stream: bool = False,
-            ckpt_manager=None):
+            ckpt_manager=None, nan_guard: bool = True,
+            nan_guard_max_retries: int = 2):
         """Train on [P, T, N] data with an 80/20 split (reference default).
+
+        ``nan_guard`` (default on) checks the train loss for divergence at
+        every host-visible boundary — the loss floats are already fetched
+        for logging, so detection is free.  On a non-finite loss the run
+        rolls back to the last checkpoint (``ckpt_manager``) and retries the
+        span with fresh shuffle/augmentation randomness, at most
+        ``nan_guard_max_retries`` times; a poisoned state is never
+        checkpointed.  Without a checkpoint to roll back to it raises
+        immediately instead of silently training on NaNs (the reference has
+        no divergence detection at all — a NaN at epoch 10 of 2002 burns the
+        whole run; SURVEY §5 "failure detection").
 
         If ``mesh`` is given, the state and data are placed with the
         node-axis/data-axis GSPMD shardings from ``parallel.sharding``.
@@ -679,6 +691,7 @@ class VAETrainer:
                     and (base_epoch + e + 1) % ckpt_manager.save_interval == 0)
 
         epoch = 0
+        nan_retries = 0
         while epoch < epochs:
             t0 = time.time()
             end = epoch
@@ -704,6 +717,16 @@ class VAETrainer:
                 key, k_epoch = jax.random.split(key)
                 state, metrics = self._train_epoch(state, data_train, k_epoch)
                 stacked = {k: [v] for k, v in metrics.items()}
+
+            if nan_guard and not np.isfinite(
+                    np.asarray(stacked["loss"], np.float64)).all():
+                from simulgen_vae_tpu.train.nan_guard import rollback
+
+                state, epoch, history = rollback(
+                    state, epoch, base_epoch, history, ckpt_manager,
+                    nan_retries, nan_guard_max_retries, stage="vae")
+                nan_retries += 1
+                continue
 
             last = epoch + span - 1
             if last % val_every == 0 or last == epochs - 1:
