@@ -55,7 +55,7 @@ def make_data(kind: str, samples: int, num_time: int, num_node: int):
 
 def run(arm: dict, epochs: int, samples: int, log_every: int,
         base: np.ndarray, num_time: int, num_node: int, batch: int,
-        filters):
+        filters, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,7 @@ def run(arm: dict, epochs: int, samples: int, log_every: int,
     name = arm["name"]
     print(f"[{name}] resolved perf stack: {stack}", flush=True)
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     state = trainer.init_state(key)
     t0 = time.time()
     compile_wall = None
@@ -152,6 +152,9 @@ def main():
                     help="name=dtype/opt_state_dtype/sn_cadence[,...]; "
                          "headline ratio = arm0/arm1 final recon-MSE")
     ap.add_argument("--data", default="waves", choices=("waves", "iid"))
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/train PRNG seed (both arms stay paired: "
+                         "same seed, same data)")
     args = ap.parse_args()
 
     import jax
@@ -165,7 +168,8 @@ def main():
     for arm in arms:
         results[arm["name"]] = run(arm, args.epochs, args.samples,
                                    args.log_every, base, args.num_time,
-                                   args.nodes, args.batch, filters)
+                                   args.nodes, args.batch, filters,
+                                   seed=args.seed)
 
     ratio = tail_ratio = None
     if len(arms) >= 2:
@@ -175,6 +179,7 @@ def main():
         tail_ratio = round(a0["tail_mean_recon_mse"]
                            / max(a1["tail_mean_recon_mse"], 1e-30), 4)
     out = {
+        "seed": args.seed,
         "geometry": f"{args.samples}x{args.num_time}x{args.nodes} synthetic "
                     f"({args.data}), filters {args.filters}, "
                     f"batch {args.batch} "
