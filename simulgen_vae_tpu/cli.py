@@ -230,6 +230,12 @@ def main(argv=None) -> int:
 
     trainer = VAETrainer(cfg)
     vae_model = trainer.model
+    # Build-time summary (reference prints torchinfo at train.py:67); shapes
+    # via eval_shape — zero device allocation.
+    from simulgen_vae_tpu.utils.summary import train_state_summary
+    s = train_state_summary(trainer, key, name="SimulGen-VAE")
+    if s:
+        print(s)
 
     if lc_only == 0:
         logger = MetricsLogger(
@@ -424,6 +430,7 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
     logger = MetricsLogger(log_dir="./LatentConditionerRuns",
                            name="LatentConditioner")
     print("Starting LatentConditioner training...")
+    from simulgen_vae_tpu.utils.summary import train_state_summary
 
     # Mid-run checkpointing + resume for the LC/E2E stage (the reference's
     # only restart mechanism is the --lc_only stage split).
@@ -442,6 +449,11 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
             use_latent_regularization=lc_cfg.use_latent_regularization,
             latent_reg_weight=lc_cfg.latent_reg_weight, sn_filter=lc_sn,
         )
+        # Reference prints torchinfo at latent_conditioner.py:241.
+        s = train_state_summary(trainer, key, sample_x=physical_input,
+                                name="LatentConditioner (E2E)")
+        if s:
+            print(s)
         lc_init, remaining = _maybe_resume_lc(args, trainer, lc_ckpt,
                                               physical_input, key,
                                               lc_cfg.epochs)
@@ -463,6 +475,10 @@ def run_latent_conditioner_stage(args, cfg, lc_cfg, vae_model, vae_params,
             batch_size=lc_cfg.batch_size, weight_decay=lc_cfg.weight_decay,
             is_image_data=is_image, loss_mode=loss_mode, sn_filter=lc_sn,
         )
+        s = train_state_summary(trainer, key, sample_x=physical_input,
+                                name=f"LatentConditioner ({data_type})")
+        if s:
+            print(s)
         lc_init, remaining = _maybe_resume_lc(args, trainer, lc_ckpt,
                                               physical_input, key,
                                               lc_cfg.epochs)
