@@ -92,6 +92,13 @@ def test_vae_nan_guard_off_trains_through():
     assert not np.isfinite(hist["loss"]).all()  # NaN kept, no rollback
 
 
+def test_cli_flag_parses():
+    from simulgen_vae_tpu.cli import build_parser
+
+    assert build_parser().parse_args(["--no_nan_guard"]).no_nan_guard
+    assert not build_parser().parse_args([]).no_nan_guard
+
+
 def _lc_setup():
     rng = np.random.default_rng(0)
     n, d = 16, 16
