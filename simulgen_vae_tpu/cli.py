@@ -212,8 +212,9 @@ def main(argv=None) -> int:
         dual_view_plotter(fom_data, param_idx=min(7, fom_data.shape[0] - 1),
                           print_graph=args.plot,
                           save_path="output/dual_view.png")
-        temporal_plotter(fom_data, 0, min(7, fom_data.shape[0] - 1), 0,
-                         args.plot, min(7, fom_data.shape[0]),
+        start = min(7, fom_data.shape[0] - 1)
+        temporal_plotter(fom_data, 0, start, 0, args.plot,
+                         min(7, fom_data.shape[0] - start),
                          save_path="output/temporal.png")
 
     new_x_train, _, scaler = data_scaler(fom_data, num_time, num_node,

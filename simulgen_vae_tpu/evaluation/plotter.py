@@ -1,15 +1,33 @@
 """Matplotlib plotters (reference ``modules/plotter.py:4-85``).
 
-Headless-safe (Agg backend); ``print_graph`` semantics follow the reference
-CLI: "0" = interactive off but figure returned, "1" = show/save, "2" = off.
+Headless-safe by default (Agg backend, figures saved not shown — the right
+semantics on a display-less TPU VM).  Set ``SIMULGEN_INTERACTIVE_PLOTS=1``
+on a machine with a display to restore the reference's interactive
+behavior: ``print_graph != "0"`` pops the window via ``plt.show()``
+(``modules/plotter.py:19-20``), closing the one declared plotting
+deviation in docs/PARITY.md for users who want it.
 """
 
 from __future__ import annotations
 
+import os
+
 import matplotlib
 
-matplotlib.use("Agg")
+_INTERACTIVE = os.environ.get("SIMULGEN_INTERACTIVE_PLOTS") == "1"
+if not _INTERACTIVE:
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _finish(fig, print_graph, save_path):
+    """Shared save/show/close tail for every plotter."""
+    if save_path:
+        plt.savefig(save_path, dpi=150, bbox_inches="tight")
+    if _INTERACTIVE and str(print_graph) != "0":
+        plt.show()
+    plt.close(fig)
+    return fig
 
 
 def temporal_plotter(data, axis, a, c, print_graph, n, save_path=None):
@@ -29,10 +47,7 @@ def temporal_plotter(data, axis, a, c, print_graph, n, save_path=None):
     plt.xlabel("Time Index")
     plt.ylabel("Value")
     plt.grid(True, alpha=0.3)
-    if save_path:
-        plt.savefig(save_path, dpi=150, bbox_inches="tight")
-    plt.close(fig)
-    return fig
+    return _finish(fig, print_graph, save_path)
 
 
 def nodal_plotter(data, axis, a, c, print_graph, n, time_idx=None,
@@ -54,10 +69,7 @@ def nodal_plotter(data, axis, a, c, print_graph, n, time_idx=None,
     plt.xlabel("Node Index")
     plt.ylabel("Value")
     plt.grid(True, alpha=0.3)
-    if save_path:
-        plt.savefig(save_path, dpi=150, bbox_inches="tight")
-    plt.close(fig)
-    return fig
+    return _finish(fig, print_graph, save_path)
 
 
 def dual_view_plotter(data, param_idx=0, node_indices=None, time_indices=None,
@@ -93,7 +105,4 @@ def dual_view_plotter(data, param_idx=0, node_indices=None, time_indices=None,
     axes[1].grid(True, alpha=0.3)
 
     plt.tight_layout()
-    if save_path:
-        plt.savefig(save_path, dpi=150, bbox_inches="tight")
-    plt.close(fig)
-    return fig
+    return _finish(fig, print_graph, save_path)

@@ -189,9 +189,25 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True,
     return lambda inputs: run(vae_vars, lc_vars, inputs)
 
 
+def auto_max_batch(num_time: int, num_node: int) -> int:
+    """Largest per-call serving batch that fits comfortably in one chip's HBM.
+
+    The decoder materializes the full ``[B, time, nodes]`` field plus ~4x
+    that in upsampling activations and the f32 descale copy; on a 16 GB v5e
+    an unchunked flagship (200x95008) decode OOMs above batch ~16 while the
+    reference evaluates sample-at-a-time on host round trips
+    (``reconstruction_evaluator.py:160-178``).  Budget ~5.7 GB of
+    activations at a 5x field multiplier: flagship -> 15, small geometries
+    -> effectively unchunked.
+    """
+    per_sample = num_time * num_node * 4  # f32 field bytes
+    return max(1, int(5.7e9 // (per_sample * 5)))
+
+
 def generate(pipeline: dict, inputs: np.ndarray,
              descale_output: bool = True,
-             quantize: str | None = None) -> np.ndarray:
+             quantize: str | None = None,
+             max_batch: int = 0) -> np.ndarray:
     """Design inputs -> simulation fields ``[N, time, nodes]``.
 
     ``inputs`` are already preprocessed conditioner inputs (scaled CSV rows
@@ -199,6 +215,13 @@ def generate(pipeline: dict, inputs: np.ndarray,
     training data scaler so fields come back in physical units.  The whole
     pipeline runs as one jitted graph (see :func:`make_generate_fn`); the
     compiled fn is cached on the pipeline dict for repeat calls.
+
+    Batches larger than ``max_batch`` (default 0 = auto-size from the field
+    geometry, :func:`auto_max_batch`) are decoded in fixed-size chunks: the
+    tail chunk is padded by repeating its last row so every dispatch reuses
+    ONE compiled shape, then the padding is sliced off.  This is what lets
+    ``generate`` take an arbitrary request count at flagship geometry
+    without OOMing a single chip's HBM.
     """
     import jax.numpy as jnp
 
@@ -207,7 +230,24 @@ def generate(pipeline: dict, inputs: np.ndarray,
     if fn is None:
         fn = make_generate_fn(pipeline, descale_output, quantize=quantize)
         pipeline[cache_key] = fn
-    return np.asarray(fn(jnp.asarray(inputs)))
+
+    model = pipeline["vae_model"]
+    if max_batch <= 0:
+        max_batch = auto_max_batch(model.num_time, model.num_node)
+    n = inputs.shape[0]
+    if n <= max_batch:
+        return np.asarray(fn(jnp.asarray(inputs)))
+
+    chunks = []
+    for start in range(0, n, max_batch):
+        chunk = jnp.asarray(inputs[start: start + max_batch])
+        got = chunk.shape[0]
+        if got < max_batch:  # pad -> the one compiled shape, slice after
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], max_batch - got, axis=0)],
+                axis=0)
+        chunks.append(np.asarray(fn(chunk))[:got])
+    return np.concatenate(chunks, axis=0)
 
 
 def resolve_quantize(mode: str | None) -> str | None:
@@ -244,6 +284,10 @@ def main(argv=None) -> int:
     ap.add_argument("--model_dir", default="model_save")
     ap.add_argument("--raw_scale", action="store_true",
                     help="skip inverse data scaling (keep model units)")
+    ap.add_argument("--max_batch", type=int, default=0,
+                    help="decode at most this many fields per device call "
+                         "(0 = auto-size from geometry so flagship batches "
+                         "don't OOM one chip's HBM; chunked transparently)")
     ap.add_argument("--quantize", default="auto",
                     choices=["auto", "none", "int8"],
                     help="int8-quantize the decoder matmuls for 2x-rate "
@@ -281,7 +325,7 @@ def main(argv=None) -> int:
 
     fields = generate(pipe, np.float32(inputs),
                       descale_output=not args.raw_scale,
-                      quantize=args.quantize)
+                      quantize=args.quantize, max_batch=args.max_batch)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     np.save(args.out, fields)
     print(f"Generated {fields.shape[0]} fields "
