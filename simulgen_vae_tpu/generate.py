@@ -101,7 +101,8 @@ def load_pipeline(condition: str = "input_data/condition.txt",
 
 
 def make_generate_fn(pipeline: dict, descale_output: bool = True,
-                     quantize: str | None = None, mesh=None):
+                     quantize: str | None = None, mesh=None,
+                     max_batch: int | None = None):
     """Build ONE jitted serving function: conditioner -> latent descale ->
     decoder -> (optional) physical-unit descale, entirely on device.
 
@@ -122,7 +123,10 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True,
     ``data``, every node-sized decoder tensor (readout kernel/bias/GN
     affines, the output fields, and their int8 mirrors) over ``model`` —
     GSPMD inserts the collectives, so one compiled graph serves from N
-    chips' combined HBM and MXUs.
+    chips' combined HBM and MXUs.  Oversized requests are chunked to a
+    per-call batch that scales with the ``model`` axis (the node-sized
+    tensors and output fields are sharded over it) and stays a multiple
+    of the ``data`` axis; ``max_batch`` overrides the auto size.
     """
     import jax
     import jax.numpy as jnp
@@ -179,11 +183,36 @@ def make_generate_fn(pipeline: dict, descale_output: bool = True,
         lc_vars = jax.device_put(
             lc_vars, param_shardings(lc_vars, mesh, num_node))
 
-        def sharded(inputs):
-            if inputs.shape[0] % mesh.shape["data"] == 0:
+        # Per-call HBM budget scales with the model axis (node-sized
+        # decoder tensors and the output fields are sharded over it), and
+        # the chunk must stay a multiple of the data axis so every call
+        # keeps the same batch sharding.
+        model = pipeline["vae_model"]
+        data_ax = mesh.shape["data"]
+        cap = max_batch or auto_max_batch(
+            model.num_time, model.num_node) * mesh.shape["model"]
+        cap = max(data_ax, cap - cap % data_ax)
+
+        def sharded_one(inputs):
+            if inputs.shape[0] % data_ax == 0:
                 inputs = jax.device_put(
                     inputs, NamedSharding(mesh, P("data")))
             return run(vae_vars, lc_vars, inputs)
+
+        def sharded(inputs):
+            n = inputs.shape[0]
+            if n <= cap:
+                return sharded_one(inputs)
+            chunks = []
+            for start in range(0, n, cap):
+                chunk = inputs[start: start + cap]
+                got = chunk.shape[0]
+                if got < cap:  # pad to the one compiled/sharded shape
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], cap - got, axis=0)],
+                        axis=0)
+                chunks.append(np.asarray(sharded_one(chunk))[:got])
+            return np.concatenate(chunks, axis=0)
 
         return sharded
     return lambda inputs: run(vae_vars, lc_vars, inputs)

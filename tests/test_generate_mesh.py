@@ -80,3 +80,16 @@ def test_sharded_generate_odd_batch_falls_back(pipeline):
     mesh = make_mesh(data=2, model=4)
     out = np.asarray(make_generate_fn(dict(pipeline), mesh=mesh)(x))
     assert out.shape[0] == 3
+
+
+@pytest.mark.slow
+def test_sharded_generate_chunks_oversized_requests(pipeline):
+    """max_batch=4 on a 2-way data mesh: 10 rows -> 4+4+padded-2, equal to
+    the whole-batch decode (chunk stays a multiple of the data axis)."""
+    x = _inputs(batch=10)
+    mesh = make_mesh(data=2, model=4)
+    whole = np.asarray(make_generate_fn(dict(pipeline), mesh=mesh)(x))
+    parts = np.asarray(
+        make_generate_fn(dict(pipeline), mesh=mesh, max_batch=4)(x))
+    assert parts.shape == whole.shape == (10, 10, 64)
+    np.testing.assert_allclose(parts, whole, rtol=2e-5, atol=2e-6)
