@@ -162,8 +162,15 @@ def main(argv=None) -> int:
     )
     from simulgen_vae_tpu.utils.logging import MetricsLogger
 
-    print("Starting SimulGen-VAE TPU...")
-    print(f"Devices: {jax.devices()}")
+    # Multi-host: rank-0 owns every filesystem artifact outside orbax
+    # (which coordinates its own multi-host saves).  The reference's DDP
+    # ranks race on these paths (SURVEY §5 "race detection").
+    from simulgen_vae_tpu.parallel import is_primary, sync_processes
+
+    primary = is_primary()
+    if primary:
+        print("Starting SimulGen-VAE TPU...")
+        print(f"Devices: {jax.devices()}")
 
     params = parse_condition_file(args.condition)
     config = parse_training_parameters(params)
@@ -191,10 +198,11 @@ def main(argv=None) -> int:
     if args.lc_epochs is not None:
         lc_cfg.epochs = args.lc_epochs
 
-    if lc_only == 0 and not args.no_wipe and not args.resume:
+    if lc_only == 0 and not args.no_wipe and not args.resume and primary:
         for folder in ("model_save", "checkpoints", "LatentConditionerRuns",
                        "output"):
             initialize_folder(folder)
+    sync_processes("folder-init")  # no process may write before the wipe
     os.makedirs("model_save", exist_ok=True)
     os.makedirs("checkpoints", exist_ok=True)
 
@@ -208,7 +216,7 @@ def main(argv=None) -> int:
     )
     del data_save
 
-    if args.plot != "2":
+    if args.plot != "2" and primary:
         dual_view_plotter(fom_data, param_idx=min(7, fom_data.shape[0] - 1),
                           print_graph=args.plot,
                           save_path="output/dual_view.png")
@@ -217,12 +225,14 @@ def main(argv=None) -> int:
                          min(7, fom_data.shape[0] - start),
                          save_path="output/temporal.png")
 
-    new_x_train, _, scaler = data_scaler(fom_data, num_time, num_node,
-                                         save_path="model_save/scaler.pkl")
+    new_x_train, _, scaler = data_scaler(
+        fom_data, num_time, num_node,
+        save_path="model_save/scaler.pkl" if primary else None)
     del fom_data
     new_x_train = np.float32(new_x_train)
-    print(f"Dataset value range: [{new_x_train.min():.4f}, "
-          f"{new_x_train.max():.4f}]")
+    if primary:
+        print(f"Dataset value range: [{new_x_train.min():.4f}, "
+              f"{new_x_train.max():.4f}]")
 
     # -- mesh ---------------------------------------------------------------
     mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
@@ -271,7 +281,9 @@ def main(argv=None) -> int:
         eval_params = trainer.eval_params(state)
         from simulgen_vae_tpu.utils.checkpoint import save_flax_model
 
-        save_flax_model("model_save/SimulGen-VAE", {"params": eval_params})
+        if primary:
+            save_flax_model("model_save/SimulGen-VAE",
+                            {"params": eval_params})
 
         # Evaluation stage is forward-only: the fused Pallas kernels are a
         # free win here (docs/PERF.md) — enable on TPU, restore afterwards.
@@ -285,12 +297,12 @@ def main(argv=None) -> int:
         evaluate_vae_reconstruction(
             vae_model, eval_params, new_x_train[:n_train], key,
             recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
-            dataset_name="Training Reconstruction", save_images=True,
+            dataset_name="Training Reconstruction", save_images=primary,
         )
         evaluate_vae_reconstruction(
             vae_model, eval_params, new_x_train[n_train:], key,
             recon_iter=cfg.recon_iter, batch_size=cfg.batch_size,
-            dataset_name="Validation", save_images=True,
+            dataset_name="Validation", save_images=primary,
         )
         latent_vectors, hierarchical, recon_loss, _, _ = \
             evaluate_vae_reconstruction(
@@ -299,8 +311,10 @@ def main(argv=None) -> int:
                 dataset_name="Whole Dataset",
             )
         set_pallas(None)
-        save_latents("model_save", latent_vectors, hierarchical)
-        save_l2_loss("./SimulGen-VAE_L2_loss.txt", recon_loss)
+        if primary:
+            save_latents("model_save", latent_vectors, hierarchical)
+            save_l2_loss("./SimulGen-VAE_L2_loss.txt", recon_loss)
+        sync_processes("vae-artifacts")  # LC stage reads these files
     else:
         print("Training LatentConditioner only...")
         latent_vectors = np.load("model_save/latent_vectors.npy")

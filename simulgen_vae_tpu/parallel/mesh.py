@@ -36,6 +36,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     )
 
 
+def is_primary() -> bool:
+    """True on the process that owns artifact/plot/log writes (rank 0).
+
+    The reference gates prints on rank 0 (SimulGen-VAE.py:228) but lets every
+    DDP rank race on the same checkpoint/plot files (SURVEY §5 "race
+    detection"); here every filesystem artifact outside orbax (which
+    coordinates multi-host saves itself) is written by process 0 only.
+    """
+    return jax.process_index() == 0
+
+
+def sync_processes(tag: str = "sync") -> None:
+    """Barrier across processes (no-op single-controller)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a ('data', 'model') mesh.

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -58,11 +59,37 @@ def param_shardings(tree: Any, mesh: Mesh, num_node: int) -> Any:
     )
 
 
+def place_global(x, sharding: NamedSharding) -> jax.Array:
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-controller: plain ``device_put``.  Multi-process
+    (``jax.process_count() > 1``): ``device_put`` of a process-local array
+    fails for non-addressable devices, so the global ``jax.Array`` is built
+    via ``make_array_from_callback`` — every process holds the full host
+    value (reference semantics: each torchrun rank loads the whole dataset,
+    SimulGen-VAE.py:277-283) and each device fetches only its own shard, so
+    only the addressable slices ever cross host->device.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # Already a global array (e.g. a restored checkpoint): no host copy
+        # exists, so reshard on device if needed.
+        return x if x.sharding == sharding else jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_state(state: Any, mesh: Mesh, num_node: int) -> Any:
     """Place a train state onto the mesh according to the sharding rules."""
     shardings = param_shardings(state, mesh, num_node)
-    return jax.device_put(state, shardings)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+    # Multi-process: state was initialized identically on every process
+    # (same PRNG key); assemble global arrays shard-by-shard.
+    return jax.tree.map(place_global, state, shardings)
 
 
-def shard_batch(data: jax.Array, mesh: Mesh) -> jax.Array:
-    return jax.device_put(data, batch_sharding(mesh, data.shape))
+def shard_batch(data, mesh: Mesh) -> jax.Array:
+    return place_global(data, batch_sharding(mesh, np.shape(data)))

@@ -624,6 +624,26 @@ class VAETrainer:
         mesh = self.mesh
         k_split, k_init, key = jax.random.split(key, 3)
 
+        # Multi-process (real pod) support: every process runs this same
+        # control flow with identical PRNG keys, so the split/shuffle/init
+        # below are bitwise-identical across hosts; all device placement
+        # goes through parallel.sharding.place_global, which assembles
+        # global jax.Arrays from the per-host copy (each device pulls only
+        # its addressable shard).  Reference analog: torchrun ranks each
+        # load the full dataset (SimulGen-VAE.py:277-283) — but here the
+        # gradients are actually combined (the reference's DDP is vestigial,
+        # SURVEY §2.7).
+        multiproc = jax.process_count() > 1
+        if multiproc and mesh is None:
+            raise ValueError(
+                "multi-process training requires a mesh spanning all "
+                "processes (parallel.mesh.make_mesh after "
+                "jax.distributed.initialize)")
+        if multiproc and stream:
+            raise NotImplementedError(
+                "stream=True is single-controller only; shard the dataset "
+                "across hosts and use load_all=1 per host instead")
+
         n = data.shape[0]
         n_val = int(n * val_split)
         perm = np.asarray(jax.random.permutation(k_split, n))
@@ -637,6 +657,13 @@ class VAETrainer:
                 data[val_idx][:val_cap] if n_val else data_train[:val_cap],
                 jnp.dtype(cfg.dtype),
             )
+        elif multiproc:
+            # Keep host-side data as numpy: a jnp.asarray here would commit
+            # the full array to this process's local devices before the
+            # global placement below.
+            data = np.asarray(data, jnp.dtype(cfg.dtype))
+            data_train = data[train_idx]
+            data_val = data[val_idx] if n_val else data_train
         else:
             data = jnp.asarray(data, jnp.dtype(cfg.dtype))
             data_train = data[train_idx]
@@ -662,11 +689,14 @@ class VAETrainer:
                     from simulgen_vae_tpu.ops.gather_augment import (
                         dataset_replicated_rows_sharding,
                     )
+                    from simulgen_vae_tpu.parallel.sharding import (
+                        place_global,
+                    )
 
-                    data_train = jax.device_put(
+                    data_train = place_global(
                         data_train,
                         dataset_replicated_rows_sharding(
-                            mesh, data_train.shape))
+                            mesh, np.shape(data_train)))
                 else:
                     data_train = shard_batch(data_train, mesh)
 
@@ -692,6 +722,7 @@ class VAETrainer:
 
         epoch = 0
         nan_retries = 0
+        nan_fail_epoch = -1  # last epoch a non-finite span reached
         while epoch < epochs:
             t0 = time.time()
             end = epoch
@@ -722,11 +753,19 @@ class VAETrainer:
                     np.asarray(stacked["loss"], np.float64)).all():
                 from simulgen_vae_tpu.train.nan_guard import rollback
 
+                nan_fail_epoch = max(nan_fail_epoch, epoch + span - 1)
                 state, epoch, history = rollback(
                     state, epoch, base_epoch, history, ckpt_manager,
                     nan_retries, nan_guard_max_retries, stage="vae")
                 nan_retries += 1
                 continue
+            if nan_retries and epoch + span - 1 > nan_fail_epoch:
+                # Progressed past the epoch that diverged: the retry budget
+                # guards REPEATED failure at one point, not the whole run —
+                # an unrelated transient hundreds of epochs later gets its
+                # own budget (resetting only after passing the failure epoch
+                # keeps a deterministic NaN from looping forever).
+                nan_retries = 0
 
             last = epoch + span - 1
             if last % val_every == 0 or last == epochs - 1:

@@ -44,12 +44,23 @@ class MetricsLogger:
         self.samples_per_epoch = samples_per_epoch
         self.n_chips = max(n_chips, 1)
         self.writer = None
+        # Multi-host: only process 0 writes scalars/console (the reference
+        # rank-gates prints, SimulGen-VAE.py:228, but races on event files).
         try:
-            from tensorboardX import SummaryWriter
+            import jax
 
-            self.writer = SummaryWriter(log_dir=log_dir, comment=name)
+            primary = jax.process_index() == 0
         except Exception:
-            pass
+            primary = True
+        if not primary:
+            self.console = False
+        else:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=log_dir, comment=name)
+            except Exception:
+                pass
         logging.basicConfig(level=logging.INFO, format=LOG_FORMAT)
         self.logger = logging.getLogger(name)
 

