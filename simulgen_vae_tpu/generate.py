@@ -233,6 +233,46 @@ def auto_max_batch(num_time: int, num_node: int) -> int:
     return max(1, int(5.7e9 // (per_sample * 5)))
 
 
+def _cached_fn(pipeline: dict, descale_output: bool, quantize: str | None):
+    """Pipeline-level cache of compiled generate fns (one per config)."""
+    cache_key = ("_gen_fn", bool(descale_output), quantize)
+    fn = pipeline.get(cache_key)
+    if fn is None:
+        fn = make_generate_fn(pipeline, descale_output, quantize=quantize)
+        pipeline[cache_key] = fn
+    return fn
+
+
+def int8_self_check(pipeline: dict, inputs, descale_output: bool = True,
+                    threshold: float = 0.05, probe_n: int = 4):
+    """Per-model int8 quality gate for default-on serving (VERDICT r4 #4).
+
+    The flagship-trained gate (docs/artifacts/quant_serving_flagship.json,
+    rel-L2 1.8%) justified turning int8 on by default — for THAT model.  A
+    differently-trained or differently-scaled model could silently degrade,
+    so ``--quantize auto`` decodes the first ``probe_n`` requests both int8
+    and float at first use and compares rel-L2 against ``threshold``.
+    Returns ``(ok, rel_l2)``; the verdict is cached on the pipeline dict so
+    repeat ``generate`` calls pay nothing.  Both compiled fns are the same
+    objects the subsequent real decode reuses (``_cached_fn``).
+    """
+    import jax.numpy as jnp
+
+    cached = pipeline.get("_int8_check")
+    if cached is not None:
+        return cached
+    probe = jnp.asarray(np.asarray(inputs[:probe_n], np.float32))
+    f_ref = np.asarray(
+        _cached_fn(pipeline, descale_output, None)(probe), np.float32)
+    f_q = np.asarray(
+        _cached_fn(pipeline, descale_output, "int8")(probe), np.float32)
+    rel = float(np.linalg.norm(f_q - f_ref)
+                / max(np.linalg.norm(f_ref), 1e-12))
+    verdict = (rel <= threshold, rel)
+    pipeline["_int8_check"] = verdict
+    return verdict
+
+
 def generate(pipeline: dict, inputs: np.ndarray,
              descale_output: bool = True,
              quantize: str | None = None,
@@ -245,6 +285,11 @@ def generate(pipeline: dict, inputs: np.ndarray,
     pipeline runs as one jitted graph (see :func:`make_generate_fn`); the
     compiled fn is cached on the pipeline dict for repeat calls.
 
+    ``quantize="auto"`` resolves by backend (int8 on TPU) and then runs the
+    per-model :func:`int8_self_check` before trusting the int8 decode —
+    falling back to float with a warning if this model's weights quantize
+    badly.  Pass ``quantize="int8"`` explicitly to skip the gate.
+
     Batches larger than ``max_batch`` (default 0 = auto-size from the field
     geometry, :func:`auto_max_batch`) are decoded in fixed-size chunks: the
     tail chunk is padded by repeating its last row so every dispatch reuses
@@ -254,11 +299,19 @@ def generate(pipeline: dict, inputs: np.ndarray,
     """
     import jax.numpy as jnp
 
-    cache_key = ("_gen_fn", bool(descale_output), quantize)
-    fn = pipeline.get(cache_key)
-    if fn is None:
-        fn = make_generate_fn(pipeline, descale_output, quantize=quantize)
-        pipeline[cache_key] = fn
+    if quantize == "auto":
+        quantize = resolve_quantize("auto")
+        if quantize == "int8":
+            ok, rel = int8_self_check(pipeline, inputs, descale_output)
+            if not ok:
+                import logging
+
+                logging.getLogger("simulgen_vae_tpu.generate").warning(
+                    "int8 self-check FAILED for this model (rel-L2 %.3f > "
+                    "0.05): serving in float instead. Pass --quantize int8 "
+                    "to force, --quantize none to silence.", rel)
+                quantize = None
+    fn = _cached_fn(pipeline, descale_output, quantize)
 
     model = pipeline["vae_model"]
     if max_batch <= 0:
@@ -321,11 +374,15 @@ def main(argv=None) -> int:
                     choices=["auto", "none", "int8"],
                     help="int8-quantize the decoder matmuls for 2x-rate "
                          "MXU serving; 'auto' (default) = int8 on TPU, off "
-                         "elsewhere — gated by the flagship-trained quality "
-                         "h2h (MSE ratio 1.0066, rel-L2 1.8%%: docs/PERF.md "
-                         "'Int8 serving decode')")
+                         "elsewhere, AND self-checked per model at first "
+                         "use (int8-vs-float rel-L2 on the first requests; "
+                         "falls back to float with a warning above 5%%). "
+                         "'int8' forces it without the gate. Flagship gate: "
+                         "MSE ratio 1.0066, rel-L2 1.8%% (docs/PERF.md)")
     args = ap.parse_args(argv)
-    args.quantize = resolve_quantize(args.quantize)
+    if args.quantize == "none":
+        args.quantize = None  # 'auto' resolves inside generate() (with the
+        # per-model int8 self-check); explicit 'int8' bypasses the gate.
 
     pipe = load_pipeline(args.condition, args.preset_file, args.size,
                          args.model_dir)

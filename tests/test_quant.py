@@ -152,3 +152,96 @@ def test_resolve_quantize_auto_maps_by_backend():
     assert resolve_quantize("none") is None
     assert resolve_quantize(None) is None
     assert resolve_quantize("int8") == "int8"
+
+
+def _tiny_pipeline():
+    """Minimal generate() pipeline (mirrors tests/test_generate_mesh.py)."""
+    from types import SimpleNamespace
+
+    from simulgen_vae_tpu.models import LatentConditioner
+    from simulgen_vae_tpu.models.vae import VAE
+
+    def fake_scaler(n):
+        return SimpleNamespace(min_=np.zeros(n, np.float32),
+                               scale_=np.full(n, 0.5, np.float32))
+
+    node, t, z_end, hier, size2 = 64, 10, 8, 4, 1
+    filters = [16, 8]
+    vae = VAE(latent_dim=z_end, hierarchical_dim=hier,
+              num_filter_enc=filters, num_filter_dec=filters[::-1],
+              num_node=node, num_time=t, small=True)
+    key = jax.random.PRNGKey(0)
+    vae_vars = {"params": vae.init({"params": key, "sample": key},
+                                   jnp.zeros((2, t, node)))["params"]}
+    lc = LatentConditioner([8, 8], z_end, 4, hier, size2, dropout_rate=0.0)
+    lc_vars = lc.init({"params": key, "dropout": key}, jnp.zeros((1, 4)),
+                      deterministic=True)
+    from types import SimpleNamespace as NS
+    return dict(cfg=NS(num_node=node), vae_model=vae, vae_vars=vae_vars,
+                lc_model=lc, lc_vars=lc_vars, lv_scaler=fake_scaler(z_end),
+                xs_scaler=fake_scaler(size2 * hier),
+                data_scaler=fake_scaler(node))
+
+
+def _corrupt_kernels(tree, factor=100.0, rows=2):
+    """Plant outlier rows in every conv kernel: per-output-channel symmetric
+    quantization then loses ~7 bits on the remaining weights of each channel
+    (step scales with the channel max), so the int8 decode diverges
+    (rel-L2 ~0.25 measured on this geometry) while the float decode is
+    fine.  ~100x outliers maximize the damage — much larger and the
+    outliers dominate the float output too (both paths agree again)."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = _corrupt_kernels(v, factor, rows)
+        elif k == "kernel":
+            w = np.array(v)
+            flat = w.reshape(-1, w.shape[-1])
+            flat[:rows] *= factor
+            out[k] = jnp.asarray(flat.reshape(w.shape))
+        else:
+            out[k] = v
+    return out
+
+
+def test_int8_self_check_passes_and_serves_int8(monkeypatch):
+    """quantize='auto' on a well-behaved model: gate passes, the int8
+    decode is actually used (differs from float), verdict cached."""
+    import simulgen_vae_tpu.generate as gen_mod
+
+    monkeypatch.setattr(gen_mod, "resolve_quantize", lambda m: "int8")
+    pipe = _tiny_pipeline()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 4)).astype(np.float32)
+    out_auto = gen_mod.generate(pipe, x, quantize="auto")
+    ok, rel = pipe["_int8_check"]
+    assert ok and 0 < rel <= 0.05, (ok, rel)
+    out_f = np.asarray(gen_mod._cached_fn(pipe, True, None)(jnp.asarray(x)))
+    out_q = np.asarray(gen_mod._cached_fn(pipe, True, "int8")(jnp.asarray(x)))
+    np.testing.assert_array_equal(out_auto, out_q)
+    assert not np.allclose(out_auto, out_f)  # int8 path engaged
+
+
+def test_int8_self_check_falls_back_on_outlier_model(monkeypatch, caplog):
+    """The VERDICT r4 #4 scenario: a deliberately outlier-weighted decoder
+    fails the per-model gate -> auto serves FLOAT with a warning instead of
+    silently degrading."""
+    import logging
+
+    import simulgen_vae_tpu.generate as gen_mod
+
+    monkeypatch.setattr(gen_mod, "resolve_quantize", lambda m: "int8")
+    pipe = _tiny_pipeline()
+    pipe["vae_vars"] = {"params": {
+        "encoder": pipe["vae_vars"]["params"]["encoder"],
+        "decoder": _corrupt_kernels(pipe["vae_vars"]["params"]["decoder"]),
+    }}
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((6, 4)).astype(np.float32)
+    with caplog.at_level(logging.WARNING, "simulgen_vae_tpu.generate"):
+        out_auto = gen_mod.generate(pipe, x, quantize="auto")
+    ok, rel = pipe["_int8_check"]
+    assert not ok and rel > 0.05, (ok, rel)
+    assert any("int8 self-check FAILED" in r.message for r in caplog.records)
+    out_f = np.asarray(gen_mod._cached_fn(pipe, True, None)(jnp.asarray(x)))
+    np.testing.assert_array_equal(out_auto, out_f)  # served float
