@@ -58,8 +58,13 @@ def reference_e2e_reinit(params, key: jax.Array):
 
     * Linear with ``out_features <= 64`` (i.e. every prediction head, and at
       small LC widths effectively every layer): ``normal(0, 0.1)``;
-    * other Linear / all Conv: Kaiming-uniform (relu gain);
-    * all biases zero; Group/Layer/BatchNorm scale 1, bias 0.
+    * other Linear / Conv2d (4-D kernels): Kaiming-uniform (relu gain),
+      bias zero;
+    * Group/Layer/BatchNorm scale 1, bias 0;
+    * Conv1d (3-D kernels) NOT touched — the reference's ``init_weights``
+      matches only ``nn.Conv2d``/``nn.Linear`` (e2e.py:274-291), so torch's
+      Conv1d default init survives there; here the construction-time init
+      survives identically (kernel AND bias).
 
     Round 3's E2E head-to-head ran WITHOUT this re-init (rebuild kept
     He-uniform everywhere) and its reg-only arm trailed the reference's
@@ -68,7 +73,19 @@ def reference_e2e_reinit(params, key: jax.Array):
     flat = jax.tree.leaves_with_path(params)
     keys = jax.random.split(key, max(len(flat), 1))
 
+    def _module_of(path):
+        return tuple(getattr(p, "key", str(p)) for p in path[:-1])
+
+    # Modules whose kernel is 3-D (Conv1d): the reference skips them
+    # entirely, bias included.
+    conv1d_modules = {
+        _module_of(p) for p, leaf in flat
+        if getattr(p[-1], "key", None) == "kernel" and leaf.ndim == 3
+    }
+
     def _reinit(path, leaf, k):
+        if _module_of(path) in conv1d_modules:
+            return leaf
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name == "bias":
             return jnp.zeros_like(leaf)
@@ -333,6 +350,7 @@ class E2ETrainer:
         base_epoch = int(state.epoch)
         epoch = 0
         nan_retries = 0
+        nan_fail_epoch = -1  # last epoch a non-finite loss hit
         while epoch < epochs:
             t0 = time.time()
             key, k_epoch, k_val = jax.random.split(key, 3)
@@ -348,12 +366,18 @@ class E2ETrainer:
                 # best_state is finite by construction (a NaN val_loss never
                 # wins the < comparison), so it is a valid rollback source
                 # even with no checkpoint manager.
+                nan_fail_epoch = max(nan_fail_epoch, epoch)
                 state, epoch, history = rollback(
                     state, epoch, base_epoch, history, ckpt_manager,
                     nan_retries, nan_guard_max_retries, stage="e2e",
                     fallback_state=best_state if track_best else None)
                 nan_retries += 1
                 continue
+            if nan_retries and epoch > nan_fail_epoch:
+                # Past the epoch that diverged: give later, unrelated
+                # transients their own retry budget (see vae_trainer.fit
+                # for the rationale).
+                nan_retries = 0
 
             if track_best and metrics["val_loss"] < best_val:
                 best_val = metrics["val_loss"]

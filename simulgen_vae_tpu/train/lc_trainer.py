@@ -255,6 +255,7 @@ class LCTrainer:
         base_epoch = int(state.epoch)
         epoch = 0
         nan_retries = 0
+        nan_fail_epoch = -1  # last epoch a non-finite loss hit
         while epoch < epochs:
             t0 = time.time()
             key, k_epoch = jax.random.split(key)
@@ -264,11 +265,17 @@ class LCTrainer:
             if nan_guard and not np.isfinite(metrics["loss"]):
                 from simulgen_vae_tpu.train.nan_guard import rollback
 
+                nan_fail_epoch = max(nan_fail_epoch, epoch)
                 state, epoch, history = rollback(
                     state, epoch, base_epoch, history, ckpt_manager,
                     nan_retries, nan_guard_max_retries, stage="lc")
                 nan_retries += 1
                 continue
+            if nan_retries and epoch > nan_fail_epoch:
+                # Past the epoch that diverged: give later, unrelated
+                # transients their own retry budget (see vae_trainer.fit
+                # for the rationale).
+                nan_retries = 0
 
             if epoch % val_every == 0 or epoch == epochs - 1:
                 vm = self._eval_epoch(state, xv, y1v, y2v)

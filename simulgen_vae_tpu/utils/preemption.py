@@ -22,6 +22,14 @@ Design notes (why not a thread / why a flag):
   instead of looping.
 * ``install`` is idempotent and chainable: the prior handler is preserved and
   re-installed by :func:`uninstall` (tests restore state between cases).
+* Worst-case response latency = one host-visible span of device time: the
+  VAE trainer dispatches up to ``val_every`` epochs as ONE jitted scan
+  (vae_trainer.fit, "multi-epoch dispatch"), and a dispatched program cannot
+  be interrupted, so SIGTERM is noticed up to ``val_every x epoch_time``
+  late (flagship: 20 x ~0.26 s ~ 5 s; slower configs scale linearly).  If a
+  scheduler's grace window is shorter than that, lower ``val_every`` (or
+  checkpoint more often) — the second SIGTERM still kills the process
+  promptly rather than hanging.
 """
 
 from __future__ import annotations
@@ -39,16 +47,20 @@ _prev_handlers: dict = {}
 
 
 def _handler(signum, frame):
+    # LOCK-FREE on purpose: the handler runs on the main thread between
+    # bytecodes, so taking _lock here would deadlock if the signal lands
+    # while the main thread is inside one of the locked sections below
+    # (threading.Lock is not reentrant).  Plain bool loads/stores are
+    # atomic under the GIL, and _prev_handlers is only read here.
     global _requested
-    with _lock:
-        if _requested:
-            # Second signal: stop cooperating, die the default way.
-            prev = _prev_handlers.get(signum, signal.SIG_DFL)
-            signal.signal(signum, prev if callable(prev) or prev in (
-                signal.SIG_DFL, signal.SIG_IGN) else signal.SIG_DFL)
-            os.kill(os.getpid(), signum)
-            return
-        _requested = True
+    if _requested:
+        # Second signal: stop cooperating, die the default way.
+        prev = _prev_handlers.get(signum, signal.SIG_DFL)
+        signal.signal(signum, prev if callable(prev) or prev in (
+            signal.SIG_DFL, signal.SIG_IGN) else signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+        return
+    _requested = True
 
 
 def install(signals: Iterable[int] = (signal.SIGTERM,)) -> None:

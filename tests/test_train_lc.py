@@ -205,3 +205,30 @@ def test_e2e_reference_reinit(lc_data, tiny_vae):
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                         s_on.params, s_off.params)
     assert max(jax.tree.leaves(diff)) > 1e-3
+
+
+def test_e2e_reinit_skips_conv1d():
+    """The reference's init_weights matches only nn.Conv2d/nn.Linear
+    (latent_conditioner_e2e.py:274-291) — Conv1d keeps torch's default
+    init, so the rebuild's re-init must leave 3-D kernels (and their
+    biases) at construction-time values."""
+    from simulgen_vae_tpu.train.lc_e2e_trainer import reference_e2e_reinit
+
+    params = {
+        "Conv1d_0": {"kernel": jnp.ones((3, 8, 4)),
+                     "bias": jnp.full((4,), 0.5)},
+        "Dense_0": {"kernel": jnp.ones((8, 4)),
+                    "bias": jnp.full((4,), 0.5)},
+        "Conv2d_0": {"kernel": jnp.ones((3, 3, 8, 4)),
+                     "bias": jnp.full((4,), 0.5)},
+    }
+    out = reference_e2e_reinit(params, jax.random.PRNGKey(0))
+    # Conv1d: untouched, bias included
+    assert float(jnp.abs(out["Conv1d_0"]["kernel"] - 1).max()) == 0.0
+    assert float(jnp.abs(out["Conv1d_0"]["bias"] - 0.5).max()) == 0.0
+    # Linear (<=64 out): normal(0, .1) kernel, zero bias
+    assert float(jnp.abs(out["Dense_0"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(out["Dense_0"]["kernel"] - 1).max()) > 0.5
+    # Conv2d: He-uniform kernel, zero bias
+    assert float(jnp.abs(out["Conv2d_0"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(out["Conv2d_0"]["kernel"] - 1).max()) > 0.5
