@@ -51,6 +51,17 @@ from simulgen_vae_tpu.ops.groupnorm_gelu import (
 _W_TILE_BYTES = 2 * 1024 * 1024
 
 
+def _bwd_mode() -> str:
+    """Backward flavor: 'fused' contracts dW/dh inside the dy pass (dy
+    never materialized, _bwd_fused_dw_kernel); 'materialize' writes the
+    [B,T,C] dy map and leaves dW/dh to XLA einsums.  Env
+    SIMULGEN_READOUT_BWD overrides; hardware measurements in docs/PERF.md
+    ("readout backward fusion, round 5")."""
+    import os
+
+    return os.environ.get("SIMULGEN_READOUT_BWD", "fused")
+
+
 def _elem_loss(o, x, lossfun: str):
     d = o - x
     if lossfun == "MSE":
@@ -78,9 +89,16 @@ def _elem_loss_grad(o, x, lossfun: str):
     raise ValueError(lossfun)
 
 
-def _tile_width(f: int, c: int) -> int:
+def _tile_width(f: int, c: int, t: int = 200) -> int:
+    """C-tile width: bounded by the W-tile budget AND by the kernel bodies'
+    f32 temporaries (~6 live [T, CT] arrays in _bwd_common / the loss
+    epilogue), which live in scoped VMEM (16 MB limit).  At small F the
+    W-tile rule alone explodes — f=128 gave ct=8192, whose [200, 8192] f32
+    temps OOM the scoped allocator (observed on v5e, round 5)."""
     ct = max((_W_TILE_BYTES // (2 * f)) // _LANES * _LANES, _LANES)
-    return min(ct, -(-c // _LANES) * _LANES)
+    ct_tmp = max(int(10e6) // (6 * 4 * max(t, 1)) // _LANES * _LANES,
+                 _LANES)
+    return min(ct, ct_tmp, -(-c // _LANES) * _LANES)
 
 
 # -- forward kernels ---------------------------------------------------------
@@ -131,6 +149,42 @@ def _loss_kernel(y_ref, x_ref, scale_ref, nb_ref, stats_ref, out_ref, *,
          jnp.where(lane == 0, msum, 0.0)], axis=0)
 
 
+def _fused_bwd_tile(b: int, t: int, f: int, ct: int):
+    """C-tile width for the fused backward, or None when it cannot engage.
+
+    The fused backward keeps the FULL [B, T, F] f32 dh accumulator resident
+    in VMEM for the whole kernel, alongside the streamed y/x/W/dW tiles;
+    shrink the C-tile until the budget fits (x1.7 covers Mosaic's input
+    double buffering).  At flagship train geometry (B=16, T=200, F=1024 ->
+    26 MB of dh alone) no tile width fits, so the backward falls back to
+    the materializing path.
+
+    v5e measurements (scripts/probe_readout_chain.py, round 5) also rule
+    out NARROW tiles: at B=4 x F=1024 -> C=95008 the VMEM budget forces
+    ctf=256 and the fused backward LOSES (14.2 vs 11.1 ms fwd+bwd) — the
+    per-tile W refetch and dh read-modify-write overwhelm the saved dy
+    round trip — while at F=128 -> C=5120 (ctf=2048) it WINS (4.84 vs
+    5.53 ms).  Hence the engage rule: fused only when a >=1024-wide
+    C-tile fits."""
+    ctf = min(ct, 2048)
+
+    def need(w: int) -> float:
+        return (4 * b * t * f + 6 * f * w + 8 * t * w + 2 * t * f) * 1.7
+
+    while ctf > _LANES and need(ctf) > 11e6:
+        ctf = max(ctf // 2 // _LANES * _LANES, _LANES)
+    return ctf if need(ctf) <= 11e6 and ctf >= 1024 else None
+
+
+def bwd_flavor(b: int, t: int, f: int, c: int) -> str:
+    """Which backward a given geometry will actually run (probe/docs aid)."""
+    if _bwd_mode() != "fused":
+        return "materialize"
+    ct = _tile_width(f, c, t)
+    return "fused" if _fused_bwd_tile(b, t, f, ct) is not None else \
+        "materialize (vmem fallback)"
+
+
 # -- backward kernels --------------------------------------------------------
 
 def _bwd_common(y_ref, x_ref, scale_ref, nb_ref, stats_ref, tile_idx, *,
@@ -172,6 +226,86 @@ def _bwd_stats_kernel(y_ref, x_ref, scale_ref, nb_ref, stats_ref, g_ref,
          _per_group_scalars(dxnxn_sum, col_group, num_groups)], axis=0)
 
 
+def _bwd_fused_dw_kernel(y_ref, x_ref, scale_ref, nb_ref, bias_ref, h_ref,
+                         w_ref, stats_ref, msums_ref, g_ref,
+                         dw_ref, dh_ref, dbias_ref, dinv_ref, *,
+                         num_groups, c_total, ct, lossfun, n_elem):
+    """Phase 2 WITHOUT materializing dy (round-5 backward-side fusion,
+    VERDICT r4 item 7): recompute dy for one (C-tile, sample) block in
+    registers and immediately contract it into BOTH weight-side gradients —
+
+      dW[F, CT]  += h[i].T @ dy        (accumulated over samples; the dW
+                                        tile block stays resident per C-tile
+                                        since the batch is the inner grid)
+      dh[i, T, F] += dy @ W_tile.T     (accumulated over C-tiles into ONE
+                                        resident [B, T, F] f32 block — 1.6 MB
+                                        at flagship geometry — written once
+                                        when the kernel retires)
+
+    plus the dbias / d inv_sigma reductions that rode the old dy pass.  The
+    [B, T, C] dy map (608 MB bf16 at flagship) is never written or re-read:
+    vs the materializing path this removes one full-map write + two reads
+    (~1.8 GB/step) at the cost of re-fetching the small h blocks per C-tile
+    (B*nt*T*F*2 ≈ 38 MB).  Both matmuls ride the MXU in bf16 with f32
+    accumulation — exactly the dtypes of the XLA einsums they replace."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    gl = g_ref[0, 0]
+    gm = g_ref[0, 1]
+    inv_sigma = g_ref[0, 2]
+    xn, da, scale32, inv_c, col_group, valid = _bwd_common(
+        y_ref, x_ref, scale_ref, nb_ref, stats_ref, j,
+        num_groups=num_groups, c_total=c_total, ct=ct, lossfun=lossfun,
+        gl=gl, gm=gm, n_elem=n_elem)
+    m1_c, m2_c = _expand_group_stats(msums_ref[0], col_group, num_groups)
+    dy = (da * scale32 - m1_c - xn * m2_c) * inv_c
+    dy = jnp.where(valid, dy, 0.0)                        # [T, CT] f32
+
+    dy_lo = dy.astype(h_ref.dtype)
+    h = h_ref[0]                                          # [T, F]
+    dw_tile = jax.lax.dot_general(                        # [F, CT]
+        h, dy_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # mask the padded W columns: dy is 0 there, but 0 * garbage (NaN in
+    # interpret mode) would still poison the contraction
+    w = jnp.where(valid[0][None, :], w_ref[...], 0)
+    dh_tile = jax.lax.dot_general(                        # [T, F]
+        dy_lo, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_tile = jnp.sum(dy, axis=0, keepdims=True)          # [1, CT]
+
+    y = jnp.where(valid, y_ref[0].astype(jnp.float32), 0.0)
+    yr = (y - jnp.where(valid[0], bias_ref[0].astype(jnp.float32), 0.0)) \
+        / inv_sigma
+    # dinv partial lives in a (1, 8, LANES) block (Mosaic requires the last
+    # two block dims divisible by (8, 128)); only [0, 0, 0] is nonzero.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 2)
+    dinv_tile = jnp.where((sub == 0) & (lane == 0), jnp.sum(dy * yr), 0.0)
+
+    @pl.when(i == 0)
+    def _init_tile():
+        dw_ref[...] = dw_tile
+        dbias_ref[...] = db_tile
+        dinv_ref[...] = dinv_tile
+
+    @pl.when(i > 0)
+    def _acc_tile():
+        dw_ref[...] += dw_tile
+        dbias_ref[...] += db_tile
+        dinv_ref[...] += dinv_tile
+
+    @pl.when(j == 0)
+    def _init_dh():
+        dh_ref[pl.ds(i, 1)] = dh_tile[None]
+
+    @pl.when(j > 0)
+    def _acc_dh():
+        dh_ref[pl.ds(i, 1)] += dh_tile[None]
+
+
 def _bwd_dy_kernel(y_ref, x_ref, scale_ref, nb_ref, bias_ref, stats_ref,
                    msums_ref, g_ref, dy_ref, dbias_ref, dinv_ref, *,
                    num_groups, c_total, ct, lossfun, n_elem):
@@ -207,7 +341,7 @@ def _forward_parts(h, kernel, bias, scale, norm_bias, x_target, inv_sigma,
 
     b, t, f = h.shape
     c = kernel.shape[-1]
-    ct = _tile_width(f, c)
+    ct = _tile_width(f, c, t)
     nt = -(-c // ct)
     interpret = jax.default_backend() != "tpu"
     dtype = h.dtype
@@ -297,7 +431,7 @@ def _bwd(num_groups, eps, lossfun, residuals, cotangents):
     gl, gm = cotangents
     b, t, f = h.shape
     c = kernel.shape[-1]
-    ct = _tile_width(f, c)
+    ct = _tile_width(f, c, t)
     nt = -(-c // ct)
     n_elem = float(b * t * c)
     interpret = jax.default_backend() != "tpu"
@@ -340,6 +474,53 @@ def _bwd(num_groups, eps, lossfun, residuals, cotangents):
     denom = float(t * (c // num_groups))
     msums = jnp.sum(gsums, axis=1) / denom                # [B, 2, 128]
 
+    dscale = jnp.sum(dscale_p.reshape(b, nt * ct)[:, :c], axis=0)
+    dnb = jnp.sum(dnb_p.reshape(b, nt * ct)[:, :c], axis=0)
+
+    ctf = _fused_bwd_tile(b, t, f, ct)
+    if _bwd_mode() == "fused" and ctf is not None:
+        # dW/dh contracted inside the dy pass — dy never materialized
+        # (docstring of _bwd_fused_dw_kernel).
+        ntf = -(-c // ctf)
+        kwf = dict(kw, ct=ctf)
+        dw_p, dh_p, dbias_p2, dinv_p2 = pl.pallas_call(
+            functools.partial(_bwd_fused_dw_kernel, **kwf),
+            out_shape=(
+                jax.ShapeDtypeStruct((f, ntf * ctf), jnp.float32),
+                jax.ShapeDtypeStruct((b, t, f), jnp.float32),
+                jax.ShapeDtypeStruct((1, ntf * ctf), jnp.float32),
+                jax.ShapeDtypeStruct((ntf, 8, _LANES), jnp.float32),
+            ),
+            grid=(ntf, b),  # C-tile OUTER: dW/dbias blocks accumulate
+            in_specs=[
+                pl.BlockSpec((1, t, ctf), lambda j, i: (i, 0, j)),
+                pl.BlockSpec((1, t, ctf), lambda j, i: (i, 0, j)),
+                pl.BlockSpec((1, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((1, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((1, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((1, t, f), lambda j, i: (i, 0, 0)),
+                pl.BlockSpec((f, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((1, 2, _LANES), lambda j, i: (i, 0, 0)),
+                pl.BlockSpec((1, 2, _LANES), lambda j, i: (i, 0, 0)),
+                pl.BlockSpec((1, 4), lambda j, i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((f, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((b, t, f), lambda j, i: (0, 0, 0)),
+                pl.BlockSpec((1, ctf), lambda j, i: (0, j)),
+                pl.BlockSpec((1, 8, _LANES), lambda j, i: (j, 0, 0)),
+            ),
+            interpret=interpret,
+        )(y, xt, scale2, nb2, bias.reshape(1, -1), h.astype(dtype),
+          kernel.astype(dtype), stats, msums, g2)
+        dW = dw_p[:, :c] * inv
+        dh = (dh_p * inv).astype(dtype)
+        dbias = dbias_p2[0, :c]
+        dinv = jnp.sum(dinv_p2[:, 0, 0])
+        return (dh, dW.astype(kernel.dtype), dbias.astype(bias.dtype),
+                dscale.astype(scale.dtype), dnb.astype(norm_bias.dtype),
+                jnp.zeros_like(x_target), dinv.astype(jnp.float32))
+
     dy, dbias_p, dinv_p = pl.pallas_call(
         functools.partial(_bwd_dy_kernel, **kw),
         out_shape=(
@@ -373,8 +554,6 @@ def _bwd(num_groups, eps, lossfun, residuals, cotangents):
     dh = (jnp.einsum("btc,fc->btf", dy, kernel.astype(dtype),
                      preferred_element_type=jnp.float32) * inv).astype(dtype)
     dbias = jnp.sum(dbias_p.reshape(b, nt * ct)[:, :c], axis=0)
-    dscale = jnp.sum(dscale_p.reshape(b, nt * ct)[:, :c], axis=0)
-    dnb = jnp.sum(dnb_p.reshape(b, nt * ct)[:, :c], axis=0)
     dinv = jnp.sum(dinv_p[:, :, 0, 0])
 
     return (dh, dW.astype(kernel.dtype), dbias.astype(bias.dtype),

@@ -118,3 +118,34 @@ def test_vae_fused_path_with_sn_sigma():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_backward_modes_agree(monkeypatch):
+    """The round-5 fused backward (dW/dh contracted inside the dy pass,
+    dy never materialized) must match the materializing backward on every
+    gradient, including tile-boundary-crossing group widths."""
+    import simulgen_vae_tpu.ops.readout_chain as rc
+
+    # c=1100 keeps the rounded C-tile >= 1024 so the fused backward actually
+    # engages (readout_chain._fused_bwd_tile's measured engage rule).
+    h, kernel, bias, scale, nb, x = _case(b=3, t=5, f=16, c=1100, seed=3)
+    inv = jnp.asarray(0.7, jnp.float32)
+    g = 4  # 275-wide groups cross the 128-lane tiles
+
+    def loss(h_, k_, b_, s_, nb_, inv_):
+        l, m = readout_chain_loss(h_, k_, b_, s_, nb_, x, inv_, g, 1e-5,
+                                  "Huber")
+        return 2.0 * l + 0.3 * m
+
+    monkeypatch.delenv("SIMULGEN_READOUT_BWD", raising=False)
+    assert rc.bwd_flavor(3, 5, 16, 1100) == "fused"  # not a vacuous compare
+
+    grads = {}
+    for mode in ("fused", "materialize"):
+        monkeypatch.setenv("SIMULGEN_READOUT_BWD", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+            h, kernel, bias, scale, nb, inv)
+    for name, a, b_ in zip(["dh", "dW", "dbias", "dscale", "dnb", "dinv"],
+                           grads["fused"], grads["materialize"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=1e-6, err_msg=name)
