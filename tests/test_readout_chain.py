@@ -149,3 +149,21 @@ def test_backward_modes_agree(monkeypatch):
                            grads["fused"], grads["materialize"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=1e-6, err_msg=name)
+
+
+def test_bwd_flavor_engage_rule(monkeypatch):
+    """The measured engage rule (PERF.md 'Readout backward fusion'): fused
+    only where a >=1024-wide C-tile fits VMEM next to the resident dh
+    block; flagship train geometry and narrow-tile cases fall back."""
+    import simulgen_vae_tpu.ops.readout_chain as rc
+
+    monkeypatch.delenv("SIMULGEN_READOUT_BWD", raising=False)
+    # flagship: 26 MB dh block can never fit
+    assert rc.bwd_flavor(16, 200, 1024, 95008) == "materialize (vmem fallback)"
+    # b=4 at flagship width: fits only at ctf=256 -> measured loser, vetoed
+    assert rc.bwd_flavor(4, 200, 1024, 95008) == "materialize (vmem fallback)"
+    # small geometry: ctf=2048 -> measured 12% win
+    assert rc.bwd_flavor(4, 200, 128, 5120) == "fused"
+    # explicit opt-out wins over everything
+    monkeypatch.setenv("SIMULGEN_READOUT_BWD", "materialize")
+    assert rc.bwd_flavor(4, 200, 128, 5120) == "materialize"
