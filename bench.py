@@ -51,9 +51,28 @@ def _remaining() -> float:
     return _BUDGET - (time.monotonic() - _START)
 
 
+def _phase(name: str):
+    """Progress timestamp on STDERR (stdout carries only the JSON contract).
+
+    Exists so a driver-side timeout is diagnosable from the captured tail:
+    the round-4 rc=124 record had NO indication of which phase ate the
+    budget.  Wall profile with a fully warm cache (2026-08-21 rehearsals):
+    headline flushes ~12 min in on this tunneled 1-core container."""
+    import sys
+
+    print(f"[bench +{time.monotonic() - _START:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
 def _setup_cache():
     import jax
 
+    # CPU backends skip the persistent cache: XLA:CPU cache entries are AOT
+    # machine code keyed to the compile machine's CPU features; loading one
+    # on a host with different features risks SIGILL (and CPU compiles of
+    # the fallback geometry take seconds anyway).
+    if jax.default_backend() == "cpu":
+        return
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or _REPO_CACHE
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -417,6 +436,7 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
+    _phase(f"backend up ({backend})")
 
     if on_tpu:
         num_node, num_time, batch = 95008, 200, 16
@@ -454,12 +474,19 @@ def main():
     trainer = VAETrainer(cfg, donate=True, fast_rng=on_tpu)
 
     rng = np.random.default_rng(0)
-    data = (rng.standard_normal((resident_samples, num_time, num_node))
-            .astype(np.float32) * 0.3)
+    # dtype=float32 draws directly (generating f64 then casting doubles the
+    # host time: 103 s -> ~50 s for the 1.2e9-element flagship ensemble on
+    # this 1-core host, round-5 phase profile).
+    data = rng.standard_normal((resident_samples, num_time, num_node),
+                               dtype=np.float32) * np.float32(0.3)
+    _phase("host data generated")
     data = jnp.asarray(data, jnp.dtype(dtype))
+    data.block_until_ready()
+    _phase("data on device")
 
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key)
+    _phase("train state initialized")
 
     # Block timing: sync (scalar readback) only at block boundaries.  A
     # per-epoch readback costs a full tunnel round trip (~28 ms measured on
@@ -489,6 +516,7 @@ def main():
     # warm/compile the multi-epoch program outside the timed region
     state, metrics = trainer._train_epochs(state, data, block_keys[0])
     _ = float(metrics["loss"][-1])
+    _phase("warmup dispatch done (program compiled/loaded)")
 
     from bench_baseline import V5E_BF16_PEAK, model_flops_per_step
 
@@ -540,6 +568,7 @@ def main():
     _FLUSH["result"] = result
     _FLUSH["printed"] = True
     print(json.dumps(result), flush=True)
+    _phase("headline flushed")
 
     # Optional serving sweep — budget-gated, written to an artifact file
     # (NOT stdout: the contract is exactly one JSON line on stdout).
@@ -562,6 +591,7 @@ def main():
             os.makedirs(os.path.dirname(art), exist_ok=True)
             with open(art, "w") as f:
                 json.dump(payload, f, indent=1)
+            _phase("serving sweep artifact written")
         except Exception:  # serving sweep must never break the bench
             pass
 

@@ -55,8 +55,14 @@ def load_pipeline(condition: str = "input_data/condition.txt",
         small=cfg.small,
     )
     key = jax.random.PRNGKey(0)
-    template = vae_model.init({"params": key, "sample": key},
-                              jnp.zeros((1, cfg.num_time, cfg.num_node)))
+    # Shape-only init: flax from_bytes uses the template purely for tree
+    # structure, so eval_shape avoids materializing (and eagerly dispatching)
+    # a full flagship-sized init on device just to immediately overwrite it
+    # with the loaded weights — serving cold-start, not a quality path.
+    template = jax.eval_shape(
+        lambda k: vae_model.init({"params": k, "sample": k},
+                                 jnp.zeros((1, cfg.num_time, cfg.num_node))),
+        key)
     vae_vars = load_flax_model(os.path.join(model_dir, "SimulGen-VAE"),
                                dict(template))
 
@@ -84,8 +90,10 @@ def load_pipeline(condition: str = "input_data/condition.txt",
             cfg.latent_dim, size2, dropout_rate=lc_cfg.dropout_rate,
         )
 
-    lc_template = lc_model.init({"params": key, "dropout": key}, sample_in,
-                                deterministic=True)
+    lc_template = jax.eval_shape(
+        lambda k: lc_model.init({"params": k, "dropout": k}, sample_in,
+                                deterministic=True),
+        key)
     lc_vars = load_flax_model(os.path.join(model_dir, "LatentConditioner"),
                               dict(lc_template))
 

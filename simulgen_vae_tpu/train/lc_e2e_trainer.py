@@ -178,18 +178,25 @@ class E2ETrainer:
 
     def init_state(self, key: jax.Array, sample_x: np.ndarray) -> LCTrainState:
         x = jnp.asarray(sample_x[:2])
-        variables = self.lc_model.init(
-            {"params": key, "dropout": key}, x, deterministic=True
-        )
-        params = variables["params"]
-        if self.reinit:
-            params = reference_e2e_reinit(params, jax.random.fold_in(key, 1))
-        batch_stats = variables.get("batch_stats", {})
-        sn_u = (init_sn_state(params, key, filter_fn=self.sn_filter)
-                if self.sn_filter is not None else {})
-        return LCTrainState(params=params, batch_stats=batch_stats,
-                            opt_state=self.tx.init(params), sn_u=sn_u,
-                            epoch=jnp.zeros((), jnp.int32))
+
+        # One jitted (and compile-cached) program instead of thousands of
+        # eager init dispatches — see VAETrainer.init_state.
+        def _init(key, x):
+            variables = self.lc_model.init(
+                {"params": key, "dropout": key}, x, deterministic=True
+            )
+            params = variables["params"]
+            if self.reinit:
+                params = reference_e2e_reinit(params,
+                                              jax.random.fold_in(key, 1))
+            batch_stats = variables.get("batch_stats", {})
+            sn_u = (init_sn_state(params, key, filter_fn=self.sn_filter)
+                    if self.sn_filter is not None else {})
+            return LCTrainState(params=params, batch_stats=batch_stats,
+                                opt_state=self.tx.init(params), sn_u=sn_u,
+                                epoch=jnp.zeros((), jnp.int32))
+
+        return jax.jit(_init)(key, x)
 
     # -- forward -----------------------------------------------------------
 

@@ -82,17 +82,23 @@ class LCTrainer:
 
     def init_state(self, key: jax.Array, sample_x: np.ndarray) -> LCTrainState:
         x = jnp.asarray(sample_x[:2])
-        variables = self.model.init(
-            {"params": key, "dropout": key}, x, deterministic=True
-        )
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        sn_u = (init_sn_state(params, key, filter_fn=self.sn_filter)
-                if self.sn_filter is not None else {})
-        opt_state = self.tx.init(params)
-        return LCTrainState(params=params, batch_stats=batch_stats,
-                            opt_state=opt_state, sn_u=sn_u,
-                            epoch=jnp.zeros((), jnp.int32))
+
+        # One jitted (and compile-cached) program instead of thousands of
+        # eager init dispatches — see VAETrainer.init_state.
+        def _init(key, x):
+            variables = self.model.init(
+                {"params": key, "dropout": key}, x, deterministic=True
+            )
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            sn_u = (init_sn_state(params, key, filter_fn=self.sn_filter)
+                    if self.sn_filter is not None else {})
+            opt_state = self.tx.init(params)
+            return LCTrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state, sn_u=sn_u,
+                                epoch=jnp.zeros((), jnp.int32))
+
+        return jax.jit(_init)(key, x)
 
     # -- forward/loss ------------------------------------------------------
 

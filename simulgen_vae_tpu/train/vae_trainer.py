@@ -166,14 +166,24 @@ class VAETrainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, key: jax.Array) -> VAETrainState:
-        x = jnp.zeros((2, self.cfg.num_time, self.cfg.num_node),
-                      jnp.dtype(self.cfg.dtype))
-        variables = self.model.init({"params": key, "sample": key}, x)
-        params = variables["params"]
-        sn_u = (init_sn_state(params, key) if self.use_sn else {})
-        opt_state = self.opt.init(params)
-        return VAETrainState(params=params, opt_state=opt_state, sn_u=sn_u,
-                             epoch=jnp.zeros((), jnp.int32))
+        # One jitted program for the WHOLE init (model.init + SN u vectors +
+        # optimizer moments): eager flax init dispatches thousands of tiny
+        # ops, which costs ~4 min at flagship scale on a tunneled backend
+        # (~28 ms RTT each; measured in the round-5 bench phase profile).
+        # As one program it is also persisted in the compile cache, so a
+        # fresh process pays neither the dispatches nor the trace-compile.
+        def _init(key):
+            x = jnp.zeros((2, self.cfg.num_time, self.cfg.num_node),
+                          jnp.dtype(self.cfg.dtype))
+            variables = self.model.init({"params": key, "sample": key}, x)
+            params = variables["params"]
+            sn_u = (init_sn_state(params, key) if self.use_sn else {})
+            opt_state = self.opt.init(params)
+            return VAETrainState(params=params, opt_state=opt_state,
+                                 sn_u=sn_u,
+                                 epoch=jnp.zeros((), jnp.int32))
+
+        return jax.jit(_init)(key)
 
     # -- loss --------------------------------------------------------------
 
